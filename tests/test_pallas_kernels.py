@@ -1,0 +1,97 @@
+"""Fused Pallas kernels vs the pure-jnp physics reference (interpret mode
+on CPU; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ideal_gan_tpu import physics as ph
+from ideal_gan_tpu import ops as kops
+
+from test_physics import make_maps
+
+
+def _setup(nb=2, h=24, w=128, ne=6, seed=11):
+    maps = make_maps(nb=nb, h=h, w=w, seed=seed)
+    te = ph.te_train(ne, bs=nb)
+    acqs = ph.synthesize(jnp.asarray(maps), te)
+    params = jnp.asarray(maps[:, 2:3])
+    return maps, te, acqs, params
+
+
+class TestFusedFit:
+    def test_matches_jnp_reference(self):
+        _, te, acqs, params = _setup()
+        fused = np.asarray(kops.fit_rho_fused(acqs, params, te))
+        ref = np.asarray(ph.fit_rho(acqs, params, te))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+    def test_nonaligned_rows_padded(self):
+        # H*W/128 = 9 rows → not a multiple of 8, exercises padding.
+        _, te, acqs, params = _setup(h=9, w=128)
+        fused = np.asarray(kops.fit_rho_fused(acqs, params, te))
+        ref = np.asarray(ph.fit_rho(acqs, params, te))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_reference(self):
+        _, te, acqs, params = _setup(nb=1, h=8, w=128)
+
+        def loss_fused(a, p):
+            return jnp.sum(jnp.square(kops.fit_rho_fused(a, p, te)))
+
+        def loss_ref(a, p):
+            return jnp.sum(jnp.square(ph.fit_rho(a, p, te)))
+
+        ga, gp = jax.grad(loss_fused, argnums=(0, 1))(acqs, params)
+        ra, rp = jax.grad(loss_ref, argnums=(0, 1))(acqs, params)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(rp), rtol=1e-3, atol=1e-4)
+
+
+class TestFusedCycle:
+    def test_matches_jnp_reference(self):
+        _, te, acqs, params = _setup()
+        fused = np.asarray(kops.cycle_fused(acqs, params, te))
+        ref = np.asarray(ph.cycle(acqs, params, te))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+    def test_idempotent_on_consistent_signal(self):
+        _, te, acqs, params = _setup()
+        out = np.asarray(kops.cycle_fused(acqs, params, te))
+        np.testing.assert_allclose(out, np.asarray(acqs), rtol=2e-2, atol=2e-3)
+
+    def test_gradient_matches_reference(self):
+        _, te, acqs, params = _setup(nb=1, h=8, w=128)
+
+        def loss_fused(p):
+            return jnp.mean(jnp.square(kops.cycle_fused(acqs, p, te) - acqs))
+
+        def loss_ref(p):
+            return jnp.mean(jnp.square(ph.cycle(acqs, p, te) - acqs))
+
+        gf = jax.grad(loss_fused)(params + 0.05)
+        gr = jax.grad(loss_ref)(params + 0.05)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-3, atol=1e-5)
+
+
+class TestFusedForward:
+    def test_matches_jnp_reference(self):
+        maps, te, _, _ = _setup()
+        fused = np.asarray(kops.synthesize_fused(jnp.asarray(maps), te))
+        ref = np.asarray(ph.synthesize(jnp.asarray(maps), te))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gradient_matches_reference(self):
+        maps, te, _, _ = _setup(nb=1, h=8, w=128)
+        maps = jnp.asarray(maps)
+        target = ph.synthesize(maps, te)
+
+        def loss_fused(m):
+            return jnp.mean(jnp.square(kops.synthesize_fused(m, te) - target))
+
+        def loss_ref(m):
+            return jnp.mean(jnp.square(ph.synthesize(m, te) - target))
+
+        gf = jax.grad(loss_fused)(maps + 0.02)
+        gr = jax.grad(loss_ref)(maps + 0.02)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-3, atol=1e-5)
