@@ -1,0 +1,73 @@
+"""Benchmark: fused IDEAL map-fitting throughput (the framework's headline
+metric, BASELINE.md: ≥5000 384² 6-echo slices/s map fitting).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "slices/s", "vs_baseline": N}
+
+vs_baseline is measured against the driver-supplied target of 5000
+slices/s (BASELINE.json; the reference publishes no numbers — it runs
+map fitting eagerly on CPU/GPU TF with no recorded throughput).
+"""
+
+import json
+import time
+
+import numpy as np
+
+TARGET_SLICES_PER_SEC = 5000.0  # BASELINE.md driver target (TPU v5e-8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu import ops as kops
+
+    nb, ne, h, w = 32, 6, 384, 384
+    rng = np.random.default_rng(0)
+
+    # Realistic inputs: synthesize signals from plausible maps.
+    water = rng.uniform(0.1, 0.7, (nb, h, w))
+    fat = rng.uniform(0.0, 0.5, (nb, h, w))
+    phi = rng.uniform(-0.3, 0.3, (nb, h, w))
+    r2s = rng.uniform(0.0, 0.5, (nb, h, w))
+    maps = np.stack([
+        np.stack([water, np.zeros_like(water)], -1),
+        np.stack([fat, np.zeros_like(fat)], -1),
+        np.stack([phi, r2s], -1)], axis=1).astype(np.float32)
+    # Keep closure constants host-side (numpy) so jit embeds them without a
+    # device→host fetch (the axon PJRT tunnel rejects that path).
+    te = np.asarray(ph.te_train(ne, bs=nb))
+    acqs = jax.device_put(np.asarray(
+        jax.jit(ph.synthesize)(jnp.asarray(maps), jnp.asarray(te))))
+    params = jax.device_put(maps[:, 2:3])
+
+    fit = jax.jit(lambda a, p: kops.fit_rho_fused(a, p, te))
+    out = fit(acqs, params)
+    jax.block_until_ready(out)
+
+    # Accuracy guard: fitted maps must match the ground truth.
+    ref = np.asarray(maps[:, :2])
+    got = np.asarray(out)
+    max_err = float(np.abs(got - ref).max())
+    assert max_err < 5e-2, f"fused fit inaccurate: max err {max_err}"
+
+    n_iter = 100
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fit(acqs, params)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    slices_per_sec = nb / dt
+
+    print(json.dumps({
+        "metric": "ideal_map_fit_throughput_384x384_6echo",
+        "value": round(slices_per_sec, 1),
+        "unit": "slices/s",
+        "vs_baseline": round(slices_per_sec / TARGET_SLICES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
