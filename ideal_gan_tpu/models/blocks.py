@@ -43,7 +43,8 @@ class Norm(nn.Module):
             return nn.BatchNorm(use_running_average=not train,
                                 dtype=self.dtype)(x)
         if self.kind == "instance_norm":
-            return nn.GroupNorm(group_size=1, dtype=self.dtype)(x)
+            return nn.GroupNorm(num_groups=None, group_size=1,
+                                dtype=self.dtype)(x)
         if self.kind == "layer_norm":
             return nn.LayerNorm(dtype=self.dtype)(x)
         raise ValueError(f"unknown norm {self.kind!r}")

@@ -97,10 +97,11 @@ class Rician:
 
     def _laguerre_half(self, x):
         """L_{1/2}(x) for x ≤ 0 via scaled Bessels:
-        L½(x) = e^{x/2}[(1−x)I0(−x/2) − x·I1(−x/2)]
-              = e^{x}[(1−x)i0e(−x/2) − x·i1e(−x/2)]   (x ≤ 0)."""
+        L½(x) = e^{x/2}[(1−x)I0(−x/2) − x·I1(−x/2)]; with x ≤ 0 and
+        I(z) = i(z)·e^{|z|} the e^{x/2} cancels the rescaling exactly:
+        L½(x) = (1−x)·i0e(−x/2) − x·i1e(−x/2)."""
         half = -0.5 * x
-        return jnp.exp(x) * ((1.0 - x) * jsp.i0e(half) - x * jsp.i1e(half))
+        return (1.0 - x) * jsp.i0e(half) - x * jsp.i1e(half)
 
     def mean(self):
         sig = self._sig()
