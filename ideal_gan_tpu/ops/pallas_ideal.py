@@ -101,9 +101,9 @@ def _fit_kernel(ne, ns, fm_sc, r2_sc, rho_sc,
         rim_ref[0, sp] = acc_im * inv_rho
 
 
-def _cycle_kernel(ne, ns, fm_sc, r2_sc,
+def _cycle_kernel(ne, ns, fm_sc, r2_sc, rho_sc,
                   te_ref, m_ref, mp_ref, sre_ref, sim_ref, phi_ref, r2_ref,
-                  ore_ref, oim_ref):
+                  ore_ref, oim_ref, rre_ref, rim_ref):
     b = pl.program_id(0)
     phi = phi_ref[0, 0] * fm_sc
     r2s = r2_ref[0, 0] * r2_sc
@@ -121,6 +121,8 @@ def _cycle_kernel(ne, ns, fm_sc, r2_sc,
             acc_im += mp_re * yim + mp_im * yre
         rho_re.append(acc_re)
         rho_im.append(acc_im)
+        rre_ref[0, sp] = acc_re * (1.0 / rho_sc)
+        rim_ref[0, sp] = acc_im * (1.0 / rho_sc)
     for e in range(ne):
         te_e = te_ref[b, e]
         zre = jnp.zeros_like(phi)
@@ -263,11 +265,14 @@ def _fit_bwd(field, r2_sc, fm_sc, rho_sc, species, res, g):
 fit_rho_fused.defvjp(_fit_fwd, _fit_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def cycle_fused(acqs, param_maps, te, field=1.5, r2_sc=R2_SC, fm_sc=FM_SC,
-                species: SpeciesModel = WATER_FAT_7PEAK):
-    """Fused IDEAL cycle Â = W⁺MM⁺W⁻A (physics.cycle fast path; reference
-    acq_to_acq, wflib/IDEAL_model.py:142-200). Single HBM pass."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def cycle_full_fused(acqs, param_maps, te, field=1.5, r2_sc=R2_SC,
+                     fm_sc=FM_SC, rho_sc=RHO_SC,
+                     species: SpeciesModel = WATER_FAT_7PEAK):
+    """Fused IDEAL cycle producing both the LS water/fat maps and the
+    reprojected acquisitions — the (A2B_WF, A2B2A) pair of the unsupervised
+    physics loss (physics.cycle_full fast path; reference acq_to_acq,
+    wflib/IDEAL_model.py:142-200). Single HBM pass."""
     (nb, ne, ns, hgt, wdt, m, m_pinv, s_re, s_im, phi, r2s,
      te_flat) = _prep_common(acqs, param_maps, te, field, species, fm_sc, r2_sc)
     rows = s_re.shape[2]
@@ -277,9 +282,14 @@ def cycle_fused(acqs, param_maps, te, field=1.5, r2_sc=R2_SC, fm_sc=FM_SC,
     phi, _ = _pad_rows(phi, rows, tr)
     r2s, prows = _pad_rows(r2s, rows, tr)
 
-    kernel = functools.partial(_cycle_kernel, ne, ns, fm_sc, r2_sc)
-    out_shape = [jax.ShapeDtypeStruct((nb, ne, prows, LANES), jnp.float32)] * 2
-    ore, oim = pl.pallas_call(
+    kernel = functools.partial(_cycle_kernel, ne, ns, fm_sc, r2_sc, rho_sc)
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, ne, prows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb, ne, prows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb, ns, prows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb, ns, prows, LANES), jnp.float32),
+    ]
+    ore, oim, rre, rim = pl.pallas_call(
         kernel,
         grid=(nb, prows // tr),
         in_specs=[
@@ -289,30 +299,44 @@ def cycle_fused(acqs, param_maps, te, field=1.5, r2_sc=R2_SC, fm_sc=FM_SC,
             _vox_spec(ne, tr), _vox_spec(ne, tr),
             _vox_spec(1, tr), _vox_spec(1, tr),
         ],
-        out_specs=[_vox_spec(ne, tr), _vox_spec(ne, tr)],
+        out_specs=[_vox_spec(ne, tr), _vox_spec(ne, tr),
+                   _vox_spec(ns, tr), _vox_spec(ns, tr)],
         out_shape=out_shape,
         interpret=_interpret(),
     )(te_flat, _mat_scalars(m), _mat_scalars(m_pinv), s_re, s_im, phi, r2s)
     ore = ore[:, :, :rows].reshape(nb, ne, hgt, wdt)
     oim = oim[:, :, :rows].reshape(nb, ne, hgt, wdt)
-    return jnp.stack([ore, oim], axis=-1)
+    rre = rre[:, :, :rows].reshape(nb, ns, hgt, wdt)
+    rim = rim[:, :, :rows].reshape(nb, ns, hgt, wdt)
+    return (jnp.stack([rre, rim], axis=-1), jnp.stack([ore, oim], axis=-1))
 
 
-def _cycle_fwd(acqs, param_maps, te, field, r2_sc, fm_sc, species):
-    out = cycle_fused(acqs, param_maps, te, field, r2_sc, fm_sc, species)
+def _cycle_full_fwd(acqs, param_maps, te, field, r2_sc, fm_sc, rho_sc,
+                    species):
+    out = cycle_full_fused(acqs, param_maps, te, field, r2_sc, fm_sc, rho_sc,
+                           species)
     return out, (acqs, param_maps, te)
 
 
-def _cycle_bwd(field, r2_sc, fm_sc, species, res, g):
+def _cycle_full_bwd(field, r2_sc, fm_sc, rho_sc, species, res, g):
     acqs, param_maps, te = res
     def ref(a, p):
-        return jops.cycle(a, p, te, field, r2_sc, fm_sc, species)
+        return jops.cycle_full(a, p, te, field, r2_sc, fm_sc, rho_sc, species)
     _, vjp = jax.vjp(ref, acqs, param_maps)
     da, dp = vjp(g)
     return da, dp, jnp.zeros_like(te)
 
 
-cycle_fused.defvjp(_cycle_fwd, _cycle_bwd)
+cycle_full_fused.defvjp(_cycle_full_fwd, _cycle_full_bwd)
+
+
+def cycle_fused(acqs, param_maps, te, field=1.5, r2_sc=R2_SC, fm_sc=FM_SC,
+                species: SpeciesModel = WATER_FAT_7PEAK):
+    """Fused IDEAL cycle Â = W⁺MM⁺W⁻A (physics.cycle fast path; reference
+    acq_to_acq, wflib/IDEAL_model.py:142-200). Single HBM pass."""
+    _, recon = cycle_full_fused(acqs, param_maps, te, field, r2_sc, fm_sc,
+                                RHO_SC, species)
+    return recon
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

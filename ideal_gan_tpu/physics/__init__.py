@@ -22,6 +22,7 @@ from .ops import (
     CSEMagResult,
     cse_mag_fit,
     cycle,
+    cycle_full,
     fit_rho,
     mag_cycle,
     synthesize,
@@ -37,7 +38,7 @@ __all__ = [
     "model_matrix", "pinv_normal", "small_inv", "null_projector",
     "phase_constraint_matrix", "mag_design_matrix", "eigenvals_2x2",
     "synthesize", "synthesize_mag", "synthesize_mag_phase",
-    "cycle", "fit_rho", "cse_mag_fit", "mag_cycle", "CSEMagResult",
+    "cycle", "cycle_full", "fit_rho", "cse_mag_fit", "mag_cycle", "CSEMagResult",
     "te_train", "te_train_for_field", "sample_te_train",
     "Posterior", "pdff_uncertainty", "acq_uncertainty",
 ]

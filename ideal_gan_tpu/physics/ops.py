@@ -214,6 +214,38 @@ def cycle(acqs: jnp.ndarray, param_maps: jnp.ndarray, te: jnp.ndarray,
     return _from_complex(smtx_hat.reshape(nb, ne, hgt, wdt))
 
 
+def cycle_full(acqs: jnp.ndarray, param_maps: jnp.ndarray, te: jnp.ndarray,
+               field: float = 1.5, r2_sc: float = R2_SC, fm_sc: float = FM_SC,
+               rho_sc: float = RHO_SC,
+               species: SpeciesModel = WATER_FAT_7PEAK):
+    """Cycle returning both the LS water/fat maps and the reprojected
+    acquisitions — the (A2B_WF, A2B2A) pair the unsupervised trainer
+    consumes (train-IDEAL-unsup.py:214-216 expects this two-output form of
+    acq_to_acq). Shares all intermediates with `cycle`."""
+    nb, ne, hgt, wdt, _ = acqs.shape
+    ns = species.n_species
+    m = mx.model_matrix(te, field, species)
+    m_pinv = mx.pinv_normal(m)
+
+    smtx = _flatten_voxels(_to_complex(acqs))
+    if param_maps.shape[-1] > 1:
+        phi = param_maps[:, 0, ..., 0] * fm_sc
+        r2s = param_maps[:, 0, ..., 1] * r2_sc
+    else:
+        phi = jnp.zeros(param_maps.shape[0:1] + param_maps.shape[2:4],
+                        param_maps.dtype)
+        r2s = param_maps[:, 0, ..., 0] * r2_sc
+    xi = _xi(phi, r2s)
+    wm = _phasor(te, xi, -1.0)
+    wp = _phasor(te, xi, +1.0)
+
+    mwms = m_pinv @ (wm * smtx)          # (nb, ns, nv) LS coefficients
+    smtx_hat = wp * (m @ mwms)
+    rho = _from_complex(mwms.reshape(nb, ns, hgt, wdt) / rho_sc)
+    recon = _from_complex(smtx_hat.reshape(nb, ne, hgt, wdt))
+    return rho, recon
+
+
 # ---------------------------------------------------------------------------
 # Map fitting: acquisitions + (φ, R2*) → water/fat maps
 # ---------------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Supervised water–fat training (rebuild of train-sup.py).
+
+Trains a generator on (acquisitions A, maps B) pairs with MAE supervision
+in one of four output modes (train-sup.py:239-358):
+  WF    — |W|,|F| magnitudes (sigmoid heads)
+  WFc   — complex W/F (4 channels)
+  PM    — (R2*, field-map); W/F recovered by the physics LS fit
+  WF-PM — both
+Variable-TE resynthesis: when the batch TE differs from the default
+protocol, A is re-synthesized from B through the forward physics op
+(train-sup.py:241-242) — training data is generated on-device.
+
+All modes run under data parallelism: the train step is jitted with batch
+inputs sharded over the mesh's 'data' axis; XLA inserts the gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import physics
+from ..data import layouts
+from ..losses import l1_mean, total_variation_2d
+from ..models import MDWFNet, UNet
+from .common import linear_decay_schedule, make_adam
+
+DEFAULTS = dict(
+    dataset="WF-sup", data_size=192, DL_gen=False, DL_partial_real=0,
+    DL_filename="LDM_ds", sigma_noise=0.0, shuffle=True, n_echoes=6,
+    TE1=0.0013, dTE=0.0021, field=1.5, out_vars="WF", G_model="multi-decod",
+    n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100, epoch_ckpt=10,
+    lr=0.0005, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0, FM_TV_weight=0.0,
+    R2_L1_weight=0.0, FM_L1_weight=0.0, D1_SelfAttention=False,
+    D2_SelfAttention=True, D3_SelfAttention=True,
+)
+
+
+class SupState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_model(cfg):
+    """Generator selection (train-sup.py:169-226). The reference's 'MEBCRN'
+    branch calls a function that does not exist (dl.MEBCRN,
+    train-sup.py:217) — we reject it with a clear error instead."""
+    if cfg["G_model"] == "multi-decod":
+        return MDWFNet(filters=cfg["n_G_filters"],
+                       wf_self_attention=cfg["D1_SelfAttention"],
+                       r2_self_attention=cfg["D2_SelfAttention"],
+                       fm_self_attention=cfg["D3_SelfAttention"])
+    if cfg["G_model"] == "U-Net":
+        n_out = 4 if cfg["out_vars"] == "WF-PM" else 2
+        out_activ = "sigmoid" if cfg["out_vars"] in ("WF", "PM") else "relu"
+        return UNet(n_out=n_out, filters=cfg["n_G_filters"],
+                    output_activation=out_activ,
+                    self_attention=cfg["D1_SelfAttention"])
+    raise NameError(
+        f"Unrecognized generator {cfg['G_model']!r} (note: the reference's "
+        "'MEBCRN' option is dead code — dl.MEBCRN does not exist)")
+
+
+def make_train_step(cfg, model):
+    """Build the jitted train step (reference train_G,
+    train-sup.py:239-361)."""
+    out_vars = cfg["out_vars"]
+    default_te = not (cfg["TE1"] != 0.0013 and cfg["dTE"] != 0.0021)
+    unet_like = cfg["G_model"] in ("U-Net", "MEBCRN")
+
+    def loss_fn(params, A, B, te, key):
+        # Variable-TE resynthesis from GT maps.
+        if not default_te:
+            A = physics.synthesize(B, te, field=cfg["field"])
+        A_leg = layouts.acqs_from_mebcrn(A)
+        # Canonical input is complex-MEBCRN maps; converted to the legacy
+        # [Wr,Wi,Fr,Fi,R2*,FM] channels. (Divergence, documented: the
+        # reference's train_G applies B_from_MEBCRN(mag_and_phase=True) to
+        # data its own loaders produce in other layouts —
+        # train-sup.py:69-90 load legacy 4-D while :245 assumes 5-D
+        # mag/phase rows — so its default path cannot run as written.)
+        B_leg = layouts.maps_from_mebcrn(B)
+        if cfg["sigma_noise"] > 0.0:
+            A_leg = A_leg + cfg["sigma_noise"] * jax.random.normal(
+                key, A_leg.shape)
+        B_WF = B_leg[..., :4]
+        B_PM = B_leg[..., 4:]
+        B_WF_abs = jnp.abs(B_WF[..., 0::2] + 1j * B_WF[..., 1::2])
+
+        out = model.apply({"params": params}, A_leg)
+        metrics = {}
+        mae = lambda a, b: jnp.mean(jnp.abs(a - b))
+
+        if out_vars == "WF":
+            A2B_WF_abs = jnp.where(B_leg[..., :2] != 0.0, out[..., :2], 0.0)
+            A2B_R2 = jnp.zeros_like(A2B_WF_abs[..., :1])
+            A2B_FM = jnp.zeros_like(A2B_R2)
+            sup_loss = mae(B_WF_abs, A2B_WF_abs)
+        elif out_vars == "WFc":
+            A2B_WF = jnp.where(B_leg[..., :4] != 0.0, out[..., :4], 0.0)
+            A2B_WF_abs = jnp.abs(A2B_WF[..., 0::2] + 1j * A2B_WF[..., 1::2])
+            A2B_R2 = jnp.zeros_like(A2B_WF_abs[..., :1])
+            A2B_FM = jnp.zeros_like(A2B_R2)
+            sup_loss = mae(B_WF, A2B_WF)
+        elif out_vars == "PM":
+            pm = out[..., -2:] if cfg["G_model"] == "multi-decod" else out
+            A2B_PM = jnp.where(B_leg[..., :2] != 0.0, pm, 0.0)
+            A2B_R2 = A2B_PM[..., :1]
+            A2B_FM = A2B_PM[..., 1:]
+            if unet_like:
+                A2B_FM = (A2B_FM - 0.5) * 2.0
+                A2B_FM = jnp.where(B_leg[..., :1] != 0.0, A2B_FM, 0.0)
+                A2B_PM = jnp.concatenate([A2B_R2, A2B_FM], axis=-1)
+            # physics LS inversion on the MEBCRN layout
+            pm_meb = layouts.maps_to_mebcrn(A2B_PM, mode="PM")
+            A2B_WF = physics.fit_rho(A, pm_meb, te, field=cfg["field"])
+            wf_c = A2B_WF[..., 0] + 1j * A2B_WF[..., 1]
+            A2B_WF_abs = jnp.moveaxis(jnp.abs(wf_c), 1, -1)
+            sup_loss = mae(B_PM, A2B_PM)
+        elif out_vars == "WF-PM":
+            B_abs = jnp.concatenate([B_WF_abs, B_PM], axis=-1)
+            A2B_abs = jnp.where(B_leg[..., :4] != 0.0, out, 0.0)
+            A2B_WF_abs = A2B_abs[..., :2]
+            A2B_R2 = A2B_abs[..., 2:3]
+            A2B_FM = A2B_abs[..., 3:]
+            if unet_like:
+                A2B_FM = (A2B_FM - 0.5) * 2.0
+                A2B_FM = jnp.where(B_leg[..., :1] != 0.0, A2B_FM, 0.0)
+                A2B_abs = jnp.concatenate([A2B_WF_abs, A2B_R2, A2B_FM], -1)
+            sup_loss = mae(B_abs, A2B_abs)
+        else:
+            raise ValueError(out_vars)
+
+        metrics["sup_loss"] = sup_loss
+        metrics["WF_loss"] = mae(B_WF_abs, A2B_WF_abs)
+        metrics["R2_loss"] = mae(B_PM[..., :1], A2B_R2)
+        metrics["FM_loss"] = mae(B_PM[..., 1:], A2B_FM)
+
+        reg = 0.0
+        if out_vars not in ("WF", "WFc"):
+            r2_tv = jnp.sum(total_variation_2d(A2B_R2)) * cfg["R2_TV_weight"]
+            fm_tv = jnp.sum(total_variation_2d(A2B_FM)) * cfg["FM_TV_weight"]
+            r2_l1 = l1_mean(A2B_R2) * cfg["R2_L1_weight"]
+            fm_l1 = l1_mean(A2B_FM) * cfg["FM_L1_weight"]
+            reg = r2_tv + fm_tv + r2_l1 + fm_l1
+            metrics.update(TV_R2=r2_tv, TV_FM=fm_tv, L1_R2=r2_l1,
+                           L1_FM=fm_l1)
+        return sup_loss + reg, metrics
+
+    total_steps = cfg.get("total_steps", cfg["epochs"])
+    schedule = linear_decay_schedule(
+        cfg["lr"], total_steps,
+        int(cfg["epoch_decay"] * total_steps / max(cfg["epochs"], 1)))
+    tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
+
+    @jax.jit
+    def train_step(state: SupState, batch, key):
+        A, B, te = batch
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, A, B, te, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["G_loss"] = loss
+        return SupState(params, opt_state, state.step + 1), metrics
+
+    return train_step, tx
+
+
+def init_state(cfg, model, tx, key, sample_A):
+    A_leg = layouts.acqs_from_mebcrn(jnp.asarray(sample_A))
+    params = model.init(key, A_leg)["params"]
+    return SupState(params, tx.init(params), jnp.zeros((), jnp.int32))

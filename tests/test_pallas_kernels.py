@@ -95,3 +95,39 @@ class TestFusedForward:
         gf = jax.grad(loss_fused)(maps + 0.02)
         gr = jax.grad(loss_ref)(maps + 0.02)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-3, atol=1e-5)
+
+
+class TestCycleFull:
+    def test_matches_jnp_reference(self):
+        import ideal_gan_tpu.physics as ph2
+        _, te, acqs, params = _setup()
+        rho_f, recon_f = kops.cycle_full_fused(acqs, params, te)
+        rho_r, recon_r = ph2.cycle_full(acqs, params, te)
+        np.testing.assert_allclose(np.asarray(rho_f), np.asarray(rho_r),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(recon_f), np.asarray(recon_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_rho_matches_fit(self):
+        _, te, acqs, params = _setup()
+        rho_f, _ = kops.cycle_full_fused(acqs, params, te)
+        fit = kops.fit_rho_fused(acqs, params, te)
+        np.testing.assert_allclose(np.asarray(rho_f), np.asarray(fit),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients(self):
+        _, te, acqs, params = _setup(nb=1, h=8, w=128)
+
+        def loss_fused(p):
+            rho, recon = kops.cycle_full_fused(acqs, p, te)
+            return jnp.mean(jnp.square(recon - acqs)) + jnp.mean(rho)
+
+        def loss_ref(p):
+            import ideal_gan_tpu.physics as ph2
+            rho, recon = ph2.cycle_full(acqs, p, te)
+            return jnp.mean(jnp.square(recon - acqs)) + jnp.mean(rho)
+
+        gf = jax.grad(loss_fused)(params + 0.05)
+        gr = jax.grad(loss_ref)(params + 0.05)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-5)

@@ -1,0 +1,78 @@
+"""End-to-end supervised training smoke tests on synthetic physics data,
+running data-parallel over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ideal_gan_tpu import physics as ph
+from ideal_gan_tpu.parallel import data_mesh, shard_batch
+from ideal_gan_tpu.train import sup
+
+from test_physics import make_maps
+
+
+def make_dataset(n=16, h=32, w=32, ne=6):
+    maps = np.concatenate([make_maps(nb=n // 2, h=h, w=w, seed=s)
+                           for s in (1, 2)])
+    te = ph.te_train(ne, bs=n)
+    acqs = np.asarray(ph.synthesize(jnp.asarray(maps), te))
+    return acqs, maps, np.asarray(te)
+
+
+def run_steps(cfg_overrides, n_steps=3):
+    cfg = dict(sup.DEFAULTS)
+    cfg.update(n_G_filters=8, batch_size=8, epochs=2, **cfg_overrides)
+    model = sup.build_model(cfg)
+    acqs, maps, te = make_dataset()
+    step_fn, tx = sup.make_train_step(cfg, model)
+    key = jax.random.PRNGKey(0)
+    state = sup.init_state(cfg, model, tx, key, acqs[:1])
+    mesh = data_mesh()
+    losses = []
+    for i in range(n_steps):
+        batch = (acqs[:8], maps[:8], te[:8])
+        batch = shard_batch(tuple(jnp.asarray(b) for b in batch), mesh)
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["G_loss"]))
+    return losses, state
+
+
+class TestSupTrainer:
+    def test_wf_mode_loss_decreases(self):
+        losses, state = run_steps({"out_vars": "WF"}, n_steps=6)
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+    def test_pm_mode_with_physics_fit(self):
+        losses, _ = run_steps({"out_vars": "PM"}, n_steps=3)
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_wfpm_unet(self):
+        losses, _ = run_steps(
+            {"out_vars": "WF-PM", "G_model": "U-Net"}, n_steps=3)
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_te_resynthesis_mode(self):
+        """TE≠default → A regenerated on-device from B through the forward
+        op (train-sup.py:241-242)."""
+        losses, _ = run_steps(
+            {"out_vars": "WF", "TE1": 0.0011, "dTE": 0.0019}, n_steps=3)
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_data_parallel_sharding(self):
+        """The batch is actually sharded over 8 CPU devices."""
+        mesh = data_mesh()
+        assert mesh.devices.size == 8
+        x = jnp.zeros((8, 4, 4))
+        xs = shard_batch(x, mesh)
+        assert len(xs.sharding.device_set) == 8
+
+    def test_dead_mebcrn_config_rejected(self):
+        cfg = dict(sup.DEFAULTS)
+        cfg["G_model"] = "MEBCRN"
+        try:
+            sup.build_model(cfg)
+            assert False, "should have raised"
+        except NameError as e:
+            assert "MEBCRN" in str(e)
