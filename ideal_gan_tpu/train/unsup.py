@@ -1,0 +1,182 @@
+"""AI-DEAL unsupervised physics-loss training (rebuild of
+train-IDEAL-unsup.py).
+
+The generator predicts a field-map posterior from the complex multi-echo
+acquisitions (optionally an R2* posterior from magnitudes via a second
+net); the loss is the self-consistency of the IDEAL cycle ‖A − Â‖² with
+Â = W⁺MM⁺W⁻A — no ground-truth maps. With uncertainty quantification (UQ)
+the cycle loss becomes the heteroscedastic `var_mse` with per-echo
+variances propagated through `acq_uncertainty`, and a 1×1 non-negative
+calibration conv can rescale σ (train-IDEAL-unsup.py:176-178).
+
+The hot op is the fused cycle kernel (rho + recon in one HBM pass);
+training runs data-parallel over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import physics
+from ..ops import cycle_full_fused
+from ..losses import l1_mean, total_variation_2d, var_mse
+from ..models import UNet
+from ..prob import Normal, Rician
+from .common import linear_decay_schedule, make_adam
+
+DEFAULTS = dict(
+    dataset="Unsup-v0", n_echoes=6, field=1.5, out_vars="FM",  # FM | PM
+    UQ=False, UQ_R2s=False, UQ_calib=False, rand_ne=False, remove_ech1=False,
+    data_aug_p=0.4, n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100,
+    epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, grad_clip=1.0,
+    FM_TV_weight=0.0, FM_L1_weight=0.0, R2_TV_weight=0.0, R2_L1_weight=0.0,
+    D1_SelfAttention=True, D2_SelfAttention=False,
+)
+
+
+class UnsupState(NamedTuple):
+    params_fm: Any
+    opt_fm: Any
+    params_r2: Any
+    opt_r2: Any
+    calib: Any          # 1×1 non-neg conv weight, shape (1,)
+    opt_calib: Any
+    step: jnp.ndarray
+
+
+def build_models(cfg):
+    g_fm = UNet(n_out=1, bayesian=cfg["UQ"], me_layer=True,
+                filters=cfg["n_G_filters"],
+                self_attention=cfg["D1_SelfAttention"])
+    g_r2 = UNet(n_out=1, bayesian=cfg["UQ_R2s"], me_layer=True,
+                filters=cfg["n_G_filters"], output_activation="sigmoid",
+                self_attention=cfg["D2_SelfAttention"])
+    return g_fm, g_r2
+
+
+def _as_mean_sigma(out):
+    if isinstance(out, (Normal, Rician)):
+        if isinstance(out, Normal):
+            return out.loc, out.scale
+        return out.nu, out.sigma
+    return out, None
+
+
+def make_train_step(cfg, g_fm, g_r2):
+    uq = cfg["UQ"]
+    pm_mode = cfg["out_vars"] == "PM"
+
+    def loss_fn(params_fm, params_r2, calib, A, te, key):
+        k1, k2 = jax.random.split(key)
+        rngs = {"bayes": k1}
+        out_fm = g_fm.apply({"params": params_fm}, A, rngs=rngs)
+        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
+
+        if pm_mode:
+            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+            out_r2 = g_r2.apply({"params": params_r2}, a_abs,
+                                rngs={"bayes": k2})
+            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
+            r2_mean = jax.lax.stop_gradient(r2_mean)  # R2 net trained apart
+        else:
+            r2_mean = jnp.zeros_like(fm_mean)
+            r2_sigma = None
+
+        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)  # (nb,1,H,W,2)
+        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"])
+        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+
+        if uq:
+            phi = physics.Posterior(
+                fm_mean[:, 0, ..., 0],
+                jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
+                else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
+            r2s = physics.Posterior(
+                r2_mean[:, 0, ..., 0],
+                jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
+                else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
+            a_var = physics.acq_uncertainty(
+                jax.lax.stop_gradient(wf), phi, r2s, te, field=cfg["field"],
+                rem_r2=not pm_mode)
+            a_var = a_var * jnp.abs(calib[0])  # σ-calibration (non-neg 1×1)
+            cycle_loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
+        else:
+            cycle_loss = jnp.mean(jnp.square(A - a_hat))
+
+        fm_tv = jnp.sum(total_variation_2d(fm_mean[:, 0])) * cfg["FM_TV_weight"]
+        fm_l1 = l1_mean(fm_mean) * cfg["FM_L1_weight"]
+        loss = cycle_loss + fm_tv + fm_l1
+        metrics = {"A2B2A_cycle_loss": cycle_loss, "TV_FM": fm_tv,
+                   "L1_FM": fm_l1, "G_loss": loss}
+        return loss, metrics
+
+    total_steps = cfg.get("total_steps", cfg["epochs"])
+    schedule = linear_decay_schedule(
+        cfg["lr"], total_steps,
+        int(cfg["epoch_decay"] * total_steps / max(cfg["epochs"], 1)))
+    tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"],
+                   clip_norm=cfg["grad_clip"])
+
+    @jax.jit
+    def train_step(state: UnsupState, batch, key):
+        A, te = batch
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_fm, state.params_r2,
+                                   state.calib, A, te, key)
+        updates, opt_fm = tx.update(grads, state.opt_fm, state.params_fm)
+        params_fm = optax.apply_updates(state.params_fm, updates)
+        return state._replace(params_fm=params_fm, opt_fm=opt_fm,
+                              step=state.step + 1), metrics
+
+    return train_step, tx
+
+
+def make_r2_train_step(cfg, g_fm, g_r2, tx):
+    """Second phase: train the R2* net with the FM net frozen (reference
+    train_G_R2, train-IDEAL-unsup.py:267-331)."""
+
+    def loss_fn(params_r2, params_fm, A, te, key):
+        k1, k2 = jax.random.split(key)
+        out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1})
+        fm_mean, _ = _as_mean_sigma(out_fm)
+        fm_mean = jax.lax.stop_gradient(fm_mean)
+        a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+        out_r2 = g_r2.apply({"params": params_r2}, a_abs, rngs={"bayes": k2})
+        r2_mean, _ = _as_mean_sigma(out_r2)
+        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+        _, a_hat = cycle_full_fused(A, pm, te, cfg["field"])
+        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+        loss = jnp.mean(jnp.square(A - a_hat))
+        r2_tv = jnp.sum(total_variation_2d(r2_mean[:, 0])) * cfg["R2_TV_weight"]
+        r2_l1 = l1_mean(r2_mean) * cfg["R2_L1_weight"]
+        total = loss + r2_tv + r2_l1
+        return total, {"R2_cycle_loss": loss, "TV_R2": r2_tv, "L1_R2": r2_l1}
+
+    @jax.jit
+    def train_step(state: UnsupState, batch, key):
+        A, te = batch
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_r2, state.params_fm, A, te,
+                                   key)
+        updates, opt_r2 = tx.update(grads, state.opt_r2, state.params_r2)
+        params_r2 = optax.apply_updates(state.params_r2, updates)
+        return state._replace(params_r2=params_r2, opt_r2=opt_r2,
+                              step=state.step + 1), metrics
+
+    return train_step
+
+
+def init_state(cfg, g_fm, g_r2, tx, key, sample_A):
+    k1, k2 = jax.random.split(key)
+    A = jnp.asarray(sample_A)
+    a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+    params_fm = g_fm.init({"params": k1, "bayes": k1}, A)["params"]
+    params_r2 = g_r2.init({"params": k2, "bayes": k2}, a_abs)["params"]
+    calib = jnp.ones((1,), jnp.float32)
+    return UnsupState(params_fm, tx.init(params_fm),
+                      params_r2, tx.init(params_r2),
+                      calib, None, jnp.zeros((), jnp.int32))
