@@ -167,6 +167,10 @@ def eigenvals_2x2(x: jnp.ndarray, eps: float = 1e-12):
     vx = jnp.where(norm > 0, vx / norm, 0.0)
     vy = jnp.where(norm > 0, vy / norm, 0.0)
     v_max = jnp.concatenate([vx, vy], axis=-1)
-    xy_est = jnp.sqrt(lam_max_pos) * v_max
-    rank1_ratio = jnp.where(lam_max_pos > 0, lam_min_pos / lam_max_pos, 0.0)
+    # Double-where keeps sqrt'(0)=inf out of the gradient on masked voxels.
+    lam_safe = jnp.where(lam_max_pos > 0, lam_max_pos, 1.0)
+    scale = jnp.where(lam_max_pos > 0, jnp.sqrt(lam_safe), 0.0)
+    xy_est = scale * v_max
+    lam_div = jnp.where(lam_max_pos > 0, lam_max_pos, 1.0)
+    rank1_ratio = jnp.where(lam_max_pos > 0, lam_min_pos / lam_div, 0.0)
     return xy_est, rank1_ratio

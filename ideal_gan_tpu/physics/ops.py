@@ -345,8 +345,10 @@ def cse_mag_fit(acqs: jnp.ndarray, out_maps: jnp.ndarray, te: jnp.ndarray,
     wms = jnp.square(wm * smtx)
     awms = a_pinv @ wms            # (nb, 3, nv)
     aawms = a @ awms               # (nb, ne, nv)
-    smtx_hat = wp * jnp.where(aawms > 1e-6, jnp.sqrt(jnp.maximum(aawms, 0.0)),
-                              0.0)
+    # Double-where so the sqrt's untaken branch cannot poison gradients
+    # (sqrt'(0) = inf would propagate NaN through a single where).
+    aawms_safe = jnp.where(aawms > 1e-6, aawms, 1.0)
+    smtx_hat = wp * jnp.where(aawms > 1e-6, jnp.sqrt(aawms_safe), 0.0)
 
     if r2s_nu is not None:
         nu = (r2s_nu[:, 0, ..., 0] * r2_sc).reshape(nb, 1, -1)
