@@ -1,0 +1,118 @@
+"""Shared CLI machinery: flag parsing with settings.yml round-trip, data
+loading (HDF5 cohorts or on-the-fly synthetic phantoms), and the epoch
+runner.
+
+Every entry point keeps the reference workflow (SURVEY §5 config system):
+flags → output/<dataset>/settings.yml; downstream tools load that YAML and
+overlay their own flags. A `--synthetic N` escape hatch generates N
+physics-consistent slices so every pipeline runs end-to-end without the
+proprietary cohorts.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .. import physics
+from ..utils import Config, parse_flags
+
+
+def setup_experiment(defaults: dict, argv=None,
+                     settings_name: str = "settings.yml") -> Config:
+    base = {"data_size": 192, "synthetic": 0,
+            "dataset_dir": "../datasets/", "output_base": "output"}
+    cfg = parse_flags({**base, **defaults}, argv)
+    out_dir = Path(cfg["output_base"]) / cfg["dataset"]
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # Downstream tools (LDM / generation / metrics) write their own
+    # settings file so they never clobber the training run's settings.yml
+    # they are about to inherit (reference pattern: settings overlay,
+    # train-ldm.py:32-45).
+    cfg.save(out_dir / settings_name)
+    cfg["output_dir"] = str(out_dir)
+    return cfg
+
+
+def load_settings(experiment_dir: str, overlay: dict | None = None) -> Config:
+    """Load a past run's settings.yml and overlay new flags (the
+    reference's test-genMetrics/train-ldm pattern)."""
+    cfg = Config.load(Path(experiment_dir) / "settings.yml")
+    if overlay:
+        cfg = cfg.overlay(overlay)
+    return cfg
+
+
+def synthetic_dataset(n: int, h: int = 192, w: int = 192, ne: int = 6,
+                      seed: int = 0, field: float = 1.5):
+    """Physics-consistent synthetic cohort: smooth water/fat/field maps →
+    forward model → acquisitions. Returns (acqs, maps, te) numpy arrays in
+    MEBCRN layout."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+
+    def smooth(lo, hi, s=8):
+        x = rng.normal(size=(n, h, w))
+        x = np.stack([gaussian_filter(xi, s) for xi in x])
+        x = (x - x.min()) / (np.ptp(x) + 1e-9)
+        return (lo + (hi - lo) * x).astype(np.float32)
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - h / 2) / (0.45 * h)) ** 2
+            + ((xx - w / 2) / (0.45 * w)) ** 2) < 1.0
+    water = smooth(0.2, 0.8) * mask
+    fat = smooth(0.0, 0.5) * mask
+    phi = smooth(-0.3, 0.3) * mask
+    r2s = smooth(0.02, 0.5) * mask
+    pha = smooth(-0.3, 0.3)
+    w_c = water * np.exp(1j * pha)
+    f_c = fat * np.exp(1j * pha)
+    maps = np.stack([
+        np.stack([w_c.real, w_c.imag], -1),
+        np.stack([f_c.real, f_c.imag], -1),
+        np.stack([phi, r2s], -1)], axis=1).astype(np.float32)
+    te = np.asarray(physics.te_train(ne, bs=n,
+                                     ))
+    if field == 3.0:
+        te = np.asarray(physics.te_train_for_field(ne, bs=n, field=3.0))
+    import jax
+    acqs = np.asarray(jax.jit(physics.synthesize)(jnp.asarray(maps),
+                                                  jnp.asarray(te)))
+    return acqs, maps, te
+
+
+def load_cohorts(cfg, mebcrn: bool = True, mag_and_phase: bool = False):
+    """Load the cfg's HDF5 cohorts (reference filename convention
+    `<name>_GC_<size>_complex_2D.hdf5`) or fall back to synthetic data."""
+    if cfg.get("synthetic", 0):
+        return synthetic_dataset(int(cfg["synthetic"]),
+                                 h=cfg.get("data_size", 192),
+                                 w=cfg.get("data_size", 192),
+                                 ne=cfg.get("n_echoes", 6),
+                                 field=cfg.get("field", 1.5))
+    from ..data import load_hdf5
+    names = ["INTArest", "Volunteers", "Attilio"]
+    ech_idx = 2 * cfg.get("n_echoes", 6)
+    acqs_list, maps_list = [], []
+    for name in names:
+        path = os.path.join(cfg["dataset_dir"],
+                            f"{name}_GC_{cfg.get('data_size', 192)}"
+                            "_complex_2D.hdf5")
+        if not os.path.exists(path):
+            continue
+        d = load_hdf5(path, ech_idx=ech_idx, mebcrn=mebcrn,
+                      mag_and_phase=mag_and_phase)
+        acqs_list.append(d.acqs)
+        maps_list.append(d.maps)
+    if not acqs_list:
+        raise FileNotFoundError(
+            f"no cohorts found under {cfg['dataset_dir']}; use --synthetic N")
+    acqs = np.concatenate(acqs_list)
+    maps = np.concatenate(maps_list)
+    ne = cfg.get("n_echoes", 6)
+    te = np.asarray(physics.te_train(ne, bs=len(acqs)))
+    return acqs, maps, te

@@ -1,0 +1,54 @@
+"""CLI: supervised water–fat training (reference train-sup.py)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..parallel import data_mesh_for_batch, shard_batch
+from ..train import sup
+from ..train.common import batch_iterator
+from ..utils import Checkpoint, DictSummaryWriter
+from .common import load_cohorts, setup_experiment
+
+
+def main(argv=None):
+    cfg = setup_experiment(sup.DEFAULTS, argv)
+    acqs, maps, te = load_cohorts(cfg)
+    n = len(acqs)
+    steps_per_epoch = max(n // cfg["batch_size"], 1)
+    cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
+
+    model = sup.build_model(cfg)
+    step_fn, tx = sup.make_train_step(cfg, model)
+    key = jax.random.PRNGKey(0)
+    state = sup.init_state(cfg, model, tx, key, acqs[:1])
+
+    mesh = data_mesh_for_batch(cfg["batch_size"])
+    ckpt = Checkpoint(f"{cfg['output_dir']}/checkpoints")
+    writer = DictSummaryWriter(f"{cfg['output_dir']}/summaries/train")
+    start = ckpt.latest_step() or 0
+    if start:
+        state = ckpt.restore(jax.device_get(state), start)
+        print(f"resumed from epoch {start}")
+
+    rng = np.random.default_rng(0)
+    gstep = start * steps_per_epoch
+    for ep in range(start, cfg["epochs"]):
+        for batch in batch_iterator((acqs, maps, te), cfg["batch_size"], rng,
+                                    shuffle=cfg["shuffle"]):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, shard_batch(batch, mesh), sub)
+            gstep += 1
+            if gstep % 20 == 0:
+                writer.write(jax.device_get(metrics), gstep, name="G_losses")
+        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+            ckpt.save(ep + 1, jax.device_get(state))
+        print(f"epoch {ep + 1}/{cfg['epochs']} "
+              f"G_loss={float(metrics['G_loss']):.5f}")
+    writer.close()
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""CLI: TE-augmentation training (reference train-IDEAL-TEaug.py)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..data import bipolar_phase_row, random_fm_scale, random_geometric
+from ..parallel import data_mesh_for_batch, shard_batch
+from ..train import teaug
+from ..train.common import batch_iterator
+from ..utils import Checkpoint, DictSummaryWriter
+from .common import load_cohorts, setup_experiment
+
+
+def main(argv=None):
+    cfg = setup_experiment(teaug.DEFAULTS, argv)
+    _, maps, _ = load_cohorts(cfg)
+    n = len(maps)
+    steps_per_epoch = max(n // cfg["batch_size"], 1)
+    cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
+
+    model = teaug.build_model(cfg)
+    step_fn, tx = teaug.make_train_step(cfg, model)
+    key = jax.random.PRNGKey(0)
+    state = teaug.init_state(cfg, model, tx, key, h=maps.shape[2],
+                             w=maps.shape[3])
+
+    mesh = data_mesh_for_batch(cfg["batch_size"])
+    ckpt = Checkpoint(f"{cfg['output_dir']}/checkpoints")
+    writer = DictSummaryWriter(f"{cfg['output_dir']}/summaries/train")
+    start = ckpt.latest_step() or 0
+    if start:
+        state = ckpt.restore(jax.device_get(state), start)
+
+    rng = np.random.default_rng(0)
+    gstep = start * steps_per_epoch
+    for ep in range(start, cfg["epochs"]):
+        for (B,) in batch_iterator((maps,), cfg["batch_size"], rng):
+            key, k_aug, k_step = jax.random.split(key, 3)
+            if rng.random() <= cfg["data_aug_p"]:
+                B = np.asarray(random_geometric(k_aug, B))
+                if cfg["FM_aug"]:
+                    B = np.asarray(random_fm_scale(k_aug, B,
+                                                   mean=cfg["FM_mean"]))
+            if cfg["bip_grad"]:
+                B = np.asarray(bipolar_phase_row(k_aug, B))
+            te = teaug.sample_te(rng, cfg, len(B))
+            batch = shard_batch((B, te), mesh)
+            state, metrics = step_fn(state, batch, k_step)
+            gstep += 1
+            if gstep % 20 == 0:
+                writer.write(jax.device_get(metrics), gstep, name="G_losses")
+        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+            ckpt.save(ep + 1, jax.device_get(state))
+        print(f"epoch {ep + 1}/{cfg['epochs']} "
+              f"PM_loss={float(metrics['PM_loss']):.6f}")
+    writer.close()
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""CLI: AI-DEAL unsupervised training (reference train-IDEAL-unsup.py)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..data import random_echo_count, random_geometric
+from ..parallel import data_mesh_for_batch, shard_batch
+from ..train import unsup
+from ..train.common import batch_iterator
+from ..utils import Checkpoint, DictSummaryWriter
+from .common import load_cohorts, setup_experiment
+
+
+def main(argv=None):
+    cfg = setup_experiment(unsup.DEFAULTS, argv)
+    acqs, maps, te = load_cohorts(cfg)
+    n = len(acqs)
+    steps_per_epoch = max(n // cfg["batch_size"], 1)
+    cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
+
+    g_fm, g_r2 = unsup.build_models(cfg)
+    step_fn, tx = unsup.make_train_step(cfg, g_fm, g_r2)
+    r2_step_fn = unsup.make_r2_train_step(cfg, g_fm, g_r2, tx)
+    key = jax.random.PRNGKey(0)
+    state = unsup.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
+
+    mesh = data_mesh_for_batch(cfg["batch_size"])
+    ckpt = Checkpoint(f"{cfg['output_dir']}/checkpoints")
+    writer = DictSummaryWriter(f"{cfg['output_dir']}/summaries/train")
+    start = ckpt.latest_step() or 0
+    if start:
+        state = ckpt.restore(jax.device_get(state), start)
+
+    rng = np.random.default_rng(0)
+    gstep = start * steps_per_epoch
+    for ep in range(start, cfg["epochs"]):
+        for (A, te_b) in batch_iterator((acqs, te), cfg["batch_size"], rng):
+            key, k_aug, k_step = jax.random.split(key, 3)
+            # host-side geometric aug + random echo truncation
+            if rng.random() <= cfg["data_aug_p"]:
+                A = np.asarray(random_geometric(k_aug, A))
+            if cfg["rand_ne"]:
+                ne_sel = random_echo_count(rng)
+                A = A[:, :ne_sel]
+                te_b = te_b[:, :ne_sel]
+            batch = shard_batch((A, te_b), mesh)
+            state, metrics = step_fn(state, batch, k_step)
+            if cfg["out_vars"] == "PM":
+                state, r2m = r2_step_fn(state, batch, k_step)
+                metrics.update(r2m)
+            gstep += 1
+            if gstep % 20 == 0:
+                writer.write(jax.device_get(metrics), gstep, name="G_losses")
+        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+            ckpt.save(ep + 1, jax.device_get(state))
+        print(f"epoch {ep + 1}/{cfg['epochs']} cycle_loss="
+              f"{float(metrics['A2B2A_cycle_loss']):.6f}")
+    writer.close()
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

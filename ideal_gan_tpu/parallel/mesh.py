@@ -29,6 +29,15 @@ def data_mesh(n_devices: int | None = None, model: int = 1) -> Mesh:
     return Mesh(devs, ("data",))
 
 
+def data_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
+    """Largest 'data' mesh that divides the batch size evenly (so small
+    full-batch trainers still shard cleanly)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return data_mesh(n, model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -66,9 +66,11 @@ def parse_flags(defaults: Mapping[str, Any], argv=None) -> Config:
     for key, val in defaults.items():
         if isinstance(val, bool):
             parser.add_argument(f"--{key}", type=_parse_bool, default=val)
-        elif isinstance(val, (dict, list)):
+        elif isinstance(val, (dict, list, tuple)):
             parser.add_argument(f"--{key}", type=json.loads,
-                                default=json.dumps(val))
+                                default=json.dumps(list(val) if
+                                                   isinstance(val, tuple)
+                                                   else val))
         elif val is None:
             parser.add_argument(f"--{key}", type=str, default=None)
         else:
@@ -76,7 +78,8 @@ def parse_flags(defaults: Mapping[str, Any], argv=None) -> Config:
     ns = parser.parse_args(argv)
     cfg = Config(vars(ns))
     for key, val in cfg.items():
-        if isinstance(val, str) and isinstance(defaults.get(key), (dict, list)):
+        if isinstance(val, str) and isinstance(defaults.get(key),
+                                               (dict, list, tuple)):
             cfg[key] = json.loads(val)
     return cfg
 

@@ -1,0 +1,99 @@
+"""End-to-end CLI smoke tests (tiny synthetic runs, CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def run_cli(mod, args):
+    return mod.main(args)
+
+
+class TestCLIs:
+    def test_train_sup(self, tmp_path):
+        from ideal_gan_tpu.cli import train_sup
+        run_cli(train_sup, [
+            "--dataset", "t-sup", "--synthetic", "16", "--data_size", "32",
+            "--n_G_filters", "4", "--batch_size", "8", "--epochs", "1",
+            "--epoch_ckpt", "1", "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-sup" / "settings.yml").exists()
+        assert (tmp_path / "t-sup" / "checkpoints").exists()
+
+    def test_train_unsup(self, tmp_path):
+        from ideal_gan_tpu.cli import train_unsup
+        run_cli(train_unsup, [
+            "--dataset", "t-unsup", "--synthetic", "16", "--data_size", "32",
+            "--n_G_filters", "4", "--batch_size", "8", "--epochs", "1",
+            "--epoch_ckpt", "1", "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-unsup" / "checkpoints").exists()
+
+    def test_train_teaug(self, tmp_path):
+        from ideal_gan_tpu.cli import train_teaug
+        run_cli(train_teaug, [
+            "--dataset", "t-teaug", "--synthetic", "16", "--data_size", "32",
+            "--n_G_filters", "4", "--batch_size", "8", "--epochs", "1",
+            "--epoch_ckpt", "1", "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-teaug" / "checkpoints").exists()
+
+    def test_train_mag(self, tmp_path):
+        from ideal_gan_tpu.cli import train_mag
+        run_cli(train_mag, [
+            "--dataset", "t-mag", "--synthetic", "16", "--data_size", "32",
+            "--n_G_filters", "4", "--batch_size", "8", "--epochs", "1",
+            "--epoch_ckpt", "1", "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-mag" / "checkpoints").exists()
+
+    def test_train_gan_then_ldm_then_gen_then_metrics(self, tmp_path):
+        from ideal_gan_tpu.cli import (gen_ldm_dataset, test_genmetrics,
+                                       train_gan, train_ldm)
+        exp = str(tmp_path / "t-gan")
+        run_cli(train_gan, [
+            "--dataset", "t-gan", "--synthetic", "8", "--data_size", "32",
+            "--n_G_filters", "12", "--n_downsamplings", "2",
+            "--n_res_blocks", "1", "--encoded_size", "12",
+            "--batch_size", "4", "--epochs", "1", "--epoch_ckpt", "1",
+            "--A_loss", "pix-wise", "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-gan" / "checkpoints").exists()
+
+        run_cli(train_ldm, [
+            "--dataset", "t-gan", "--experiment_dir", exp,
+            "--synthetic", "8", "--n_timesteps", "8",
+            "--n_ldm_filters", "8", "--dim_mults", "[1,2]",
+            "--batch_size", "4", "--epochs", "1", "--epoch_ckpt", "1",
+            "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-gan" / "checkpoints_ldm").exists()
+
+        run_cli(gen_ldm_dataset, [
+            "--dataset", "t-gen", "--experiment_dir", exp,
+            "--n_samples", "4", "--sample_batch", "4",
+            "--n_timesteps", "8", "--infer_steps", "4", "--method", "ddim",
+            "--n_ldm_filters", "8", "--dim_mults", "[1,2]",
+            "--output_base", str(tmp_path)])
+        gen_dir = tmp_path / "t-gen" / "generated"
+        shards = list(gen_dir.glob("*.npz"))
+        assert shards
+        data = np.load(shards[0])
+        assert data["acqs"].shape[1:] == (6, 32, 32, 2)
+        assert data["out_maps"].shape[1:] == (3, 32, 32, 2)
+
+        res = run_cli(test_genmetrics, [
+            "--dataset", "t-metrics", "--experiment_dir", exp,
+            "--synthetic", "8", "--n_samples", "4", "--sample_batch", "4",
+            "--output_base", str(tmp_path)])
+        assert np.isfinite(res["FID"])
+        assert np.isfinite(res["MMD"])
+
+    def test_roi_realphantom(self, tmp_path):
+        from ideal_gan_tpu.cli import roi_realphantom
+        from ideal_gan_tpu.eval.export import save_crops
+        # synthetic "phantom" with known crops
+        crops_path = str(tmp_path / "crops.npy")
+        frms = [0] * 11
+        crops = [(2 + 2 * i, 4) for i in range(11)]
+        save_crops(crops_path, frms, crops, [])
+        run_cli(roi_realphantom, [
+            "--dataset", "t-phantom", "--synthetic", "4",
+            "--data_size", "64", "--crops_file", crops_path,
+            "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-phantom" / "ROI_phantom.xlsx").exists()
