@@ -29,6 +29,7 @@ from .ops import (
     synthesize_mag,
     synthesize_mag_phase,
 )
+from .fa import fa_cycle, fa_forward, fa_get_rho
 from .te import sample_te_train, te_train, te_train_for_field
 from .uncertainty import Posterior, acq_uncertainty, pdff_uncertainty
 
@@ -40,5 +41,6 @@ __all__ = [
     "synthesize", "synthesize_mag", "synthesize_mag_phase",
     "cycle", "cycle_full", "fit_rho", "cse_mag_fit", "mag_cycle", "CSEMagResult",
     "te_train", "te_train_for_field", "sample_te_train",
+    "fa_cycle", "fa_forward", "fa_get_rho",
     "Posterior", "pdff_uncertainty", "acq_uncertainty",
 ]

@@ -97,17 +97,18 @@ def synthesize(out_maps: jnp.ndarray, te: jnp.ndarray, field: float = 1.5,
     """
     nb, nm, hgt, wdt, _ = out_maps.shape
     ne = te.shape[1]
+    ns = species.n_species
     m = mx.model_matrix(te, field, species)  # (nb, ne, ns)
 
-    rho = (out_maps[:, :2, ..., 0] + 1j * out_maps[:, :2, ..., 1]) * rho_sc
+    rho = (out_maps[:, :ns, ..., 0] + 1j * out_maps[:, :ns, ..., 1]) * rho_sc
     rho_mtx = _flatten_voxels(rho.astype(jnp.complex64))  # (nb, ns, nv)
 
-    r2s = jnp.maximum(out_maps[:, 2, ..., 1], 0.0) * r2_sc
-    phi = out_maps[:, 2, ..., 0] * fm_sc
+    r2s = jnp.maximum(out_maps[:, ns, ..., 1], 0.0) * r2_sc
+    phi = out_maps[:, ns, ..., 0] * fm_sc
     xi = _xi(phi, r2s)
 
     extra = None
-    if nm > 3:
+    if nm > ns + 1:
         extra = _bipolar_phase(out_maps[:, -1, ..., 0], ne, np.pi)
     wp = _phasor(te, xi, +1.0, extra)  # (nb, ne, nv)
 

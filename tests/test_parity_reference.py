@@ -224,3 +224,30 @@ class TestOperatorParity:
                                    rtol=1e-2, atol=1e-3)
         np.testing.assert_allclose(np.asarray(var), var_ref.numpy(),
                                    rtol=1e-2, atol=1e-4)
+
+
+class TestFAParity:
+    def test_fa_gen_M(self):
+        fa = pytest.importorskip("falib")
+        te_np = np.asarray(ph.te_train(12, bs=1))
+        # reference FA gen_M consumes a (ne, 1) TE column
+        m_ref = fa.gen_M(tf.convert_to_tensor(te_np[0], tf.float32),
+                         get_Mpinv=False)
+        m = np.asarray(ph.model_matrix(jnp.asarray(te_np),
+                                       species=ph.FATTY_ACID_9PEAK))
+        np.testing.assert_allclose(m[0], m_ref.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_fa_get_rho(self):
+        fa = pytest.importorskip("falib")
+        rng = np.random.default_rng(0)
+        nb, ne, h, w = 1, 12, 8, 8
+        te_np = np.asarray(ph.te_train(ne, bs=nb))
+        acqs = rng.normal(size=(nb, ne, h, w, 2)).astype(np.float32)
+        params = rng.uniform(-0.2, 0.2, (nb, h, w, 2)).astype(np.float32)
+        out_ref = fa.get_rho(tf.convert_to_tensor(acqs),
+                             tf.convert_to_tensor(params),
+                             tf.convert_to_tensor(te_np, tf.float32))
+        out = ph.fa_get_rho(jnp.asarray(acqs), jnp.asarray(params),
+                            jnp.asarray(te_np))
+        np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                                   rtol=5e-3, atol=5e-3)
