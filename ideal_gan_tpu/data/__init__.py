@@ -23,6 +23,14 @@ from .layouts import (
     maps_from_mebcrn,
     maps_to_mebcrn,
 )
+from .dicom import (
+    DicomDataset,
+    gen_ds,
+    load_dicom_series,
+    read_dicom,
+    write_dicom,
+)
+from .nifti import load_nifti_series, read_nifti, write_nifti
 from .pool import ItemPool
 from .unwrap import unwrap_phase_2d, unwrap_slices
 
@@ -34,4 +42,6 @@ __all__ = [
     "random_geometric", "random_fm_scale", "bipolar_phase_row",
     "random_echo_count", "random_phase_offset", "gaussian_noise",
     "unwrap_phase_2d", "unwrap_slices",
+    "DicomDataset", "gen_ds", "write_dicom", "read_dicom",
+    "load_dicom_series", "read_nifti", "write_nifti", "load_nifti_series",
 ]
