@@ -1,5 +1,6 @@
 """Evaluation: generative metrics, ROI bias pipelines, exporters."""
 
+from .samples import save_sample_grid
 from .metrics import (
     FIDAccumulator,
     VGG19Features,
@@ -18,4 +19,5 @@ __all__ = [
     "VGG19Features", "init_vgg19", "load_vgg19_npz", "echoes_to_vgg_input",
     "perceptual_cosine_loss", "frechet_distance", "FIDAccumulator",
     "mmd_linear", "covariance_map", "ssim", "ms_ssim",
+    "save_sample_grid",
 ]
