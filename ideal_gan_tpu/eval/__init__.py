@@ -1,5 +1,11 @@
 """Evaluation: generative metrics, ROI bias pipelines, exporters."""
 
+from .inception import (
+    InceptionV3Features,
+    echoes_to_inception_input,
+    init_inception_v3,
+    load_inception_npz,
+)
 from .samples import save_sample_grid
 from .metrics import (
     FIDAccumulator,
@@ -19,5 +25,6 @@ __all__ = [
     "VGG19Features", "init_vgg19", "load_vgg19_npz", "echoes_to_vgg_input",
     "perceptual_cosine_loss", "frechet_distance", "FIDAccumulator",
     "mmd_linear", "covariance_map", "ssim", "ms_ssim",
-    "save_sample_grid",
+    "save_sample_grid", "InceptionV3Features", "init_inception_v3",
+    "load_inception_npz", "echoes_to_inception_input",
 ]

@@ -176,3 +176,17 @@ class TestXlsx:
         roi_mod.export_phantom_xlsx(str(tmp_path / "ph.xlsx"), per_vial, bias)
         assert (tmp_path / "roi.xlsx").exists()
         assert (tmp_path / "ph.xlsx").exists()
+
+
+class TestInception:
+    def test_feature_shapes(self):
+        from ideal_gan_tpu.eval import (InceptionV3Features,
+                                        echoes_to_inception_input,
+                                        init_inception_v3)
+        model, variables = init_inception_v3()
+        x = jnp.asarray(RNG.normal(size=(1, 2, 32, 32, 2)).astype(np.float32))
+        inp = echoes_to_inception_input(x, size=139)
+        assert inp.shape == (2, 139, 139, 3)
+        feats = model.apply(variables, inp)
+        assert feats.shape == (2, 2048)
+        assert np.all(np.isfinite(np.asarray(feats)))
