@@ -19,6 +19,10 @@ TARGET_SLICES_PER_SEC = 5000.0  # BASELINE.md driver target (TPU v5e-8)
 
 def main():
     import jax
+    # Persistent compilation cache: first-compile of the Pallas kernel via
+    # the remote-compile tunnel is minutes; cache it across processes.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from ideal_gan_tpu import physics as ph

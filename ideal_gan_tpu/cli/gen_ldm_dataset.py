@@ -21,7 +21,7 @@ DEFAULTS = dict(
     method="ddpm", scheduler="linear", n_ldm_filters=64, class_cond=False,
     n_classes=4, in_res=16, dim_mults=(1, 2, 4), out_name="LDM_ds",
     seed=0, n_echoes=6, lr=1e-4, beta_1=0.9, beta_2=0.999,
-    epochs=1,
+    epochs=1, write_dicom=False, method_prefix="m000",
 )
 
 
@@ -65,9 +65,31 @@ def main(argv=None):
             cfg, gan_cfg, models, gstate.params_g, model, lstate.params,
             sched, sub, n_samples=nb, latent_hw=latent_hw, z_std=z_std,
             ne=cfg["n_echoes"], method=cfg["method"])
-        np.savez_compressed(
-            out_dir / f"{cfg['out_name']}_{shard:04d}.npz",
-            acqs=np.asarray(acqs), out_maps=np.asarray(maps))
+        from ..data.records import write_shard
+        write_shard(str(out_dir / f"{cfg['out_name']}_{shard:04d}"),
+                    np.asarray(acqs), np.asarray(maps))
+        if cfg["write_dicom"]:
+            # Per-volume DICOM export (reference gen_LDM_dataset.py writes
+            # PDFF/R2s/MultiEcho DICOM series per generated volume).
+            from ..data.dicom import gen_ds, write_dicom
+            from ..eval.roi import maps_to_display
+            maps_np = np.asarray(maps)
+            pdff, r2s, _ = maps_to_display(maps_np)
+            acqs_np = np.asarray(acqs)
+            for j in range(nb):
+                vol = n_written + j
+                vdir = out_dir / "out_dicom" / f"Volunteer-{vol:03d}"
+                write_dicom(gen_ds(vol, cfg["method_prefix"]),
+                            np.clip(pdff[j], 0, 1), str(vdir / "PDFF"),
+                            "PDFF", level=0, slices=1)
+                write_dicom(gen_ds(vol, cfg["method_prefix"], r2s=True),
+                            np.clip(r2s[j], 0, 1), str(vdir / "R2s"),
+                            "R2s", level=0, slices=1)
+                mag0 = np.hypot(acqs_np[j, 0, :, :, 0],
+                                acqs_np[j, 0, :, :, 1])
+                write_dicom(gen_ds(vol, cfg["method_prefix"]),
+                            np.clip(mag0, 0, 1), str(vdir / "MultiEcho"),
+                            "ME", level=0, slices=1)
         n_written += nb
         shard += 1
         print(f"wrote shard {shard} ({n_written}/{cfg['n_samples']})")

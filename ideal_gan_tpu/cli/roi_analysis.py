@@ -1,10 +1,13 @@
 """CLI: in-vivo ROI bias evaluation (reference ROI-analysis.py), headless.
 
-Runs full-image inference per slice with the selected model family,
-computes PDFF/R2*/Water maps, evaluates the committed ROI crops
+Runs full-image inference per slice with the selected model family
+(reference model zoo dispatch, ROI-analysis.py:183-277), computes
+PDFF/R2*/Water maps — or the propagated PDFF variance in PDFF-var mode
+(ROI-analysis.py:308-322) — evaluates the committed ROI crops
 (ROI_files/*_slices_crops.npy), and exports the RHL/LHL xlsx tables. The
-reference's interactive matplotlib picker is preserved as `--interactive`
-(requires a display); headless mode requires an existing crops file.
+reference's interactive matplotlib picker is available as `--interactive`
+(eval.tracker.run_interactive); headless mode requires an existing crops
+file.
 """
 
 from __future__ import annotations
@@ -14,12 +17,12 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from .. import physics
 from ..eval import roi as roi_mod
-from ..train import unsup
 from ..utils import Checkpoint
-from .common import load_cohorts, setup_experiment
+from .common import load_cohorts, load_settings, setup_experiment
 
 DEFAULTS = dict(
     dataset="Unsup-v0", experiment_dir="output/Unsup-v0",
@@ -27,59 +30,206 @@ DEFAULTS = dict(
     map="PDFF",  # PDFF | R2s | Water | PDFF-var
     n_echoes=6, field=1.5, batch_size=1, crops_file="",
     te1=0.0013, dte=0.0021, out_xlsx="ROI_analysis.xlsx", interactive=False,
+    rem_R2=False,
 )
 
 
+def _restore(cfg, state):
+    ckpt = Checkpoint(f"{cfg['experiment_dir']}/checkpoints")
+    if ckpt.latest_step():
+        state = ckpt.restore(jax.device_get(state))
+    return state
+
+
+def _per_slice(run, acqs, te):
+    outs = [run(jnp.asarray(acqs[i:i + 1]), jnp.asarray(te[i:i + 1]))
+            for i in range(len(acqs))]
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs)
+
+
 def infer_maps(cfg, acqs, te):
-    """Full-image inference dispatch (reference sample(),
-    ROI-analysis.py:183-277). AI-DEAL path: FM net + physics fit."""
-    if cfg["model_sel"] == "AI-DEAL":
-        import optax
+    """Model dispatch → (maps (n, 3, H, W, 2), rho_var or None)."""
+    sel = cfg["model_sel"]
+    try:
+        exp_cfg = load_settings(cfg["experiment_dir"])
+    except FileNotFoundError:
+        exp_cfg = None
+    key = jax.random.PRNGKey(0)
+
+    if sel == "AI-DEAL":
+        from ..train import unsup
         ucfg = dict(unsup.DEFAULTS)
+        if exp_cfg:
+            ucfg.update({k: v for k, v in exp_cfg.items() if k in ucfg})
         g_fm, g_r2 = unsup.build_models(ucfg)
-        key = jax.random.PRNGKey(0)
-        state = unsup.init_state(ucfg, g_fm, g_r2, optax.adam(1e-4), key,
-                                 acqs[:1])
-        ckpt = Checkpoint(f"{cfg['experiment_dir']}/checkpoints")
-        if ckpt.latest_step():
-            state = ckpt.restore(jax.device_get(state))
+        state = _restore(cfg, unsup.init_state(ucfg, g_fm, g_r2,
+                                               optax.adam(1e-4), key,
+                                               acqs[:1]))
 
         @jax.jit
         def run(a, te_b):
             out = g_fm.apply({"params": state.params_fm}, a,
                              rngs={"bayes": key})
-            fm = out.loc if hasattr(out, "loc") else out
-            pm = jnp.concatenate([fm, jnp.zeros_like(fm)], axis=-1)
-            wf = physics.fit_rho(a, pm, te_b, field=cfg["field"])
-            return jnp.concatenate([wf, pm], axis=1)
+            if hasattr(out, "loc"):
+                fm_mean, fm_var = out.loc, out.variance()
+            else:
+                fm_mean, fm_var = out, jnp.zeros_like(out)
+            a_abs = jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True))
+            out_r2 = g_r2.apply({"params": state.params_r2}, a_abs,
+                                rngs={"bayes": key})
+            if hasattr(out_r2, "nu"):
+                r2_mean, r2_var = out_r2.nu, out_r2.variance()
+            else:
+                r2_mean, r2_var = out_r2, jnp.zeros_like(out_r2)
+            if cfg["map"] == "PDFF-var":
+                rho, rho_var = physics.pdff_uncertainty(
+                    a,
+                    physics.Posterior(fm_mean[:, 0, ..., 0],
+                                      fm_var[:, 0, ..., 0]),
+                    physics.Posterior(r2_mean[:, 0, ..., 0],
+                                      r2_var[:, 0, ..., 0]),
+                    te_b, field=cfg["field"], rem_r2=cfg["rem_R2"])
+            else:
+                pm0 = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+                rho = physics.fit_rho(a, pm0, te_b, field=cfg["field"])
+                rho_var = jnp.zeros(rho.shape[:1] + (4,) + rho.shape[2:4]
+                                    + (1,))
+            pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+            return jnp.concatenate([rho, pm], axis=1), rho_var
 
-        outs = [np.asarray(run(jnp.asarray(acqs[i:i + 1]),
-                               jnp.asarray(te[i:i + 1])))
-                for i in range(len(acqs))]
-        return np.concatenate(outs)
-    if cfg["model_sel"] == "GraphCuts":
-        # ground-truth passthrough mode: maps provided externally
+        return _per_slice(run, acqs, te)
+
+    if sel == "VET-Net":
+        from ..train import teaug
+        tcfg = dict(teaug.DEFAULTS)
+        if exp_cfg:
+            tcfg.update({k: v for k, v in exp_cfg.items() if k in tcfg})
+        model = teaug.build_model(tcfg)
+        step_fn, tx = teaug.make_train_step(tcfg, model)
+        state = _restore(cfg, teaug.init_state(tcfg, model, tx, key,
+                                               h=acqs.shape[2],
+                                               w=acqs.shape[3]))
+
+        @jax.jit
+        def run(a, te_b):
+            pm = model.apply({"params": state.params}, a, te_b[..., 0])
+            rho = physics.fit_rho(a, pm, te_b, field=cfg["field"],
+                                  phase_constraint=True)
+            return jnp.concatenate([rho, pm], axis=1), jnp.zeros(
+                rho.shape[:1] + (4,) + rho.shape[2:4] + (1,))
+
+        return _per_slice(run, acqs, te)
+
+    if sel == "Mag":
+        from ..train import mag
+        mcfg = dict(mag.DEFAULTS)
+        if exp_cfg:
+            mcfg.update({k: v for k, v in exp_cfg.items() if k in mcfg})
+        model = mag.build_model(mcfg)
+        step_fn, tx = mag.make_train_step(mcfg, model)
+        state = _restore(cfg, mag.init_state(mcfg, model, tx, key,
+                                             h=acqs.shape[2],
+                                             w=acqs.shape[3]))
+
+        @jax.jit
+        def run(a, te_b):
+            a_mag = jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True))
+            if mcfg["training_mode"] == "supervised":
+                out = model.apply({"params": state.params}, a_mag,
+                                  te_b[..., 0], rngs={"bayes": key})
+            else:
+                out = model.apply({"params": state.params}, a_mag,
+                                  rngs={"bayes": key})
+            r2 = out.mean() if hasattr(out, "nu") else out
+            res = physics.cse_mag_fit(a_mag, r2, te_b, field=cfg["field"])
+            wf = jnp.concatenate([res.rho, jnp.zeros_like(res.rho)], -1)
+            pm = jnp.concatenate([jnp.zeros_like(r2), r2], axis=-1)
+            var = jnp.concatenate([res.uncertainty] * 4, axis=1)
+            return jnp.concatenate([wf, pm], axis=1), var
+
+        return _per_slice(run, acqs, te)
+
+    if sel in ("U-Net", "MDWF"):
+        from ..data import layouts
+        from ..train import sup
+        scfg = dict(sup.DEFAULTS)
+        scfg["G_model"] = "U-Net" if sel == "U-Net" else "multi-decod"
+        if exp_cfg:
+            scfg.update({k: v for k, v in exp_cfg.items() if k in scfg})
+        model = sup.build_model(scfg)
+        step_fn, tx = sup.make_train_step(scfg, model)
+        state = _restore(cfg, sup.init_state(scfg, model, tx, key, acqs[:1]))
+
+        @jax.jit
+        def run(a, te_b):
+            a_leg = layouts.acqs_from_mebcrn(a)
+            out = model.apply({"params": state.params}, a_leg)
+            wf_abs = out[..., :2]
+            pm = out[..., 2:4] if out.shape[-1] >= 4 else jnp.zeros_like(
+                wf_abs)
+            w = jnp.stack([wf_abs[..., 0], jnp.zeros_like(wf_abs[..., 0])],
+                          -1)[:, None]
+            f = jnp.stack([wf_abs[..., 1], jnp.zeros_like(wf_abs[..., 1])],
+                          -1)[:, None]
+            pm_row = jnp.stack([pm[..., 1], pm[..., 0]], -1)[:, None]
+            maps = jnp.concatenate([w, f, pm_row], axis=1)
+            return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
+                                   + (1,))
+
+        return _per_slice(run, acqs, te)
+
+    if sel == "GraphCuts":
         raise SystemExit("GraphCuts mode consumes precomputed maps; "
-                         "pass them via the library API (eval.roi)")
-    raise SystemExit(f"model_sel {cfg['model_sel']!r} wiring pending for "
-                     "this CLI; use the library API")
+                         "use the library API (eval.roi) directly")
+    raise SystemExit(f"unknown model_sel {sel!r}")
+
+
+def pdff_variance_map(maps: np.ndarray, rho_var: np.ndarray) -> np.ndarray:
+    """PDFF variance via first-order propagation from the W/F covariance
+    entries (reference ROI-analysis.py:308-322): rho_var rows are the
+    flattened ns² covariance [W_var, WF_var, FW_var, F_var]."""
+    w = np.abs(maps[:, 0, ..., 0] + 1j * maps[:, 0, ..., 1])
+    f = np.abs(maps[:, 1, ..., 0] + 1j * maps[:, 1, ..., 1])
+    tot = np.abs((maps[:, 0, ..., 0] + maps[:, 1, ..., 0])
+                 + 1j * (maps[:, 0, ..., 1] + maps[:, 1, ..., 1]))
+    w_var = rho_var[:, 0, ..., 0]
+    wf_var = rho_var[:, 1, ..., 0]
+    f_var = rho_var[:, 3, ..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pdff_var = f_var / np.where(f > 0, f ** 2, 1.0)
+        pdff_var -= 2 * wf_var / np.where(f * tot > 0, f * tot, 1.0)
+        pdff_var += (w_var + f_var + 2 * wf_var) / np.where(tot > 0, tot,
+                                                            1.0)
+        pdff_var *= np.where(tot > 0, f ** 2 / tot ** 2, 0.0)
+    return np.nan_to_num(pdff_var)
 
 
 def main(argv=None):
-    cfg = setup_experiment(DEFAULTS, argv)
+    cfg = setup_experiment(DEFAULTS, argv, settings_name="settings_roi.yml")
     acqs, gt_maps, te = load_cohorts(cfg)
-    maps = infer_maps(cfg, acqs, te)
+    maps, rho_var = infer_maps(cfg, acqs, te)
 
     pdff, r2s, w_abs = roi_mod.maps_to_display(maps)
     pdff_gt, r2s_gt, w_gt = roi_mod.maps_to_display(gt_maps)
-    stack, stack_gt, stat, env = {
-        "PDFF": (pdff, pdff_gt, "median", 0.03),
-        "R2s": (r2s * physics.R2_SC, r2s_gt * physics.R2_SC, "mean", 10.0),
-        "Water": (w_abs, w_gt, "mean", 0.05),
-    }[cfg["map"]]
+    if cfg["map"] == "PDFF-var":
+        stack = pdff_variance_map(maps, rho_var)
+        stack_gt, stat, env = pdff_gt, "mean", 0.03
+    else:
+        stack, stack_gt, stat, env = {
+            "PDFF": (pdff, pdff_gt, "median", 0.03),
+            "R2s": (r2s * physics.R2_SC, r2s_gt * physics.R2_SC, "mean",
+                    10.0),
+            "Water": (w_abs, w_gt, "mean", 0.05),
+        }[cfg["map"]]
 
     crops_file = cfg["crops_file"] or str(
         Path("ROI_files") / f"{cfg['dataset']}_slices_crops.npy")
+    if cfg["interactive"]:
+        from ..eval.tracker import run_interactive
+        run_interactive(np.transpose(stack, (1, 2, 0)),
+                        lims=(0, 1) if "PDFF" in cfg["map"] else
+                        (0, physics.R2_SC), npy_file=crops_file)
     if not Path(crops_file).exists():
         raise SystemExit(f"no crops file at {crops_file}; run with "
                          "--interactive on a workstation or provide one")

@@ -13,8 +13,31 @@ from .common import load_cohorts, setup_experiment
 
 
 def main(argv=None):
-    cfg = setup_experiment(sup.DEFAULTS, argv)
-    acqs, maps, te = load_cohorts(cfg)
+    cfg = setup_experiment({**sup.DEFAULTS, "DL_gen_dir": ""}, argv)
+    if cfg["DL_gen"]:
+        # DL-generated corpus (reference --DL_gen, train-sup.py:101-164):
+        # read npz shards, optionally prepend real slices.
+        from .. import physics
+        from ..data.records import list_shards, mix_partial_real, read_shards
+        shards = list_shards(cfg["DL_gen_dir"], prefix=cfg["DL_filename"])
+        if not shards:
+            raise FileNotFoundError(
+                f"no generated shards '{cfg['DL_filename']}*.npz' in "
+                f"{cfg['DL_gen_dir']}")
+        acqs, maps = read_shards(shards)
+        # generated maps are mag/phase rows; the trainer consumes
+        # complex-MEBCRN rows
+        from ..data.layouts import mag_phase_to_complex_mebcrn
+        import jax.numpy as jnp
+        maps = np.asarray(mag_phase_to_complex_mebcrn(jnp.asarray(maps)))
+        if cfg["DL_partial_real"] > 0:
+            r_acqs, r_maps, _ = load_cohorts(cfg)
+            end_idx = {2: 64, 6: 200, 10: 330}.get(cfg["DL_partial_real"], 0)
+            acqs, maps = mix_partial_real(acqs, maps, r_acqs, r_maps,
+                                          end_idx)
+        te = np.asarray(physics.te_train(acqs.shape[1], bs=len(acqs)))
+    else:
+        acqs, maps, te = load_cohorts(cfg)
     n = len(acqs)
     steps_per_epoch = max(n // cfg["batch_size"], 1)
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]

@@ -89,3 +89,21 @@ def maps_to_mebcrn(b: jnp.ndarray, mode: str = "All") -> jnp.ndarray:
         pm = jnp.concatenate([b[..., 5:], b[..., 4:5]], -1)[:, None]
         return jnp.concatenate([w, f, pm], axis=1)
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def mag_phase_to_complex_mebcrn(b: jnp.ndarray) -> jnp.ndarray:
+    """Mag/phase MEBCRN rows [(FF,0),(PD,R2*),(pha,FM)] → complex rows
+    [water, fat, (FM, R2*)] — inverse of the loader's mag_and_phase
+    derivation with the 4π phase convention (data.py:99-115 +
+    wflib/IDEAL_model.py:421)."""
+    ff = b[:, 0, ..., 0]
+    pd = b[:, 1, ..., 0]
+    r2s = b[:, 1, ..., 1]
+    pha = b[:, 2, ..., 0] * 4.0 * np.pi
+    fm = b[:, 2, ..., 1]
+    water = (1.0 - ff) * pd
+    fat = ff * pd
+    w_row = jnp.stack([water * jnp.cos(pha), water * jnp.sin(pha)], -1)
+    f_row = jnp.stack([fat * jnp.cos(pha), fat * jnp.sin(pha)], -1)
+    pm_row = jnp.stack([fm, r2s], -1)
+    return jnp.stack([w_row, f_row, pm_row], axis=1)

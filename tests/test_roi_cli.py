@@ -1,0 +1,89 @@
+"""ROI-analysis CLI dispatch + tracker + records tests."""
+
+import numpy as np
+import pytest
+
+from ideal_gan_tpu.data.records import (list_shards, mix_partial_real,
+                                        read_shards, write_shard)
+from ideal_gan_tpu.eval.export import save_crops
+from ideal_gan_tpu.eval.tracker import IndexTracker
+
+
+class _Event:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class TestTracker:
+    def test_pick_save_erase(self, tmp_path):
+        npy = str(tmp_path / "crops.npy")
+        stack = np.zeros((32, 32, 3), np.float32)
+        tr = IndexTracker(None, None, stack, npy_file=npy)
+        tr.button_press(_Event(xdata=10.0, ydata=12.0))
+        tr.button_press(_Event(xdata=20.0, ydata=22.0))
+        tr.key_press(_Event(key="s"))
+        assert tr.frms == [0]
+        assert tr.crops_1 == [(6, 8)]   # centered on click (wdt//2 offset)
+        assert tr.crops_2 == [(16, 18)]
+        # reload persists
+        tr2 = IndexTracker(None, None, stack, npy_file=npy)
+        assert tr2.frms == [0] and tr2.crops_1 == [(6, 8)]
+        # erase slice 0
+        tr2.key_press(_Event(key="e"))
+        assert tr2.frms == []
+        tr3 = IndexTracker(None, None, stack, npy_file=npy)
+        assert tr3.frms == []
+
+    def test_scroll_wraps(self):
+        stack = np.zeros((8, 8, 3), np.float32)
+        tr = IndexTracker(None, None, stack, npy_file="/tmp/none.npy")
+        tr.onscroll(_Event(button="down"))
+        assert tr.ind == 2
+        tr.onscroll(_Event(button="up"))
+        assert tr.ind == 0
+
+
+class TestRecords:
+    def test_shard_roundtrip_and_mixing(self, tmp_path):
+        rng = np.random.default_rng(0)
+        a1 = rng.normal(size=(4, 6, 8, 8, 2)).astype(np.float32)
+        m1 = rng.normal(size=(4, 3, 8, 8, 2)).astype(np.float32)
+        write_shard(str(tmp_path / "LDM_ds_0000"), a1, m1)
+        write_shard(str(tmp_path / "LDM_ds_0001"), a1 + 1, m1 + 1)
+        shards = list_shards(str(tmp_path), prefix="LDM_ds")
+        assert len(shards) == 2
+        acqs, maps = read_shards(shards)
+        assert acqs.shape == (8, 6, 8, 8, 2)
+        real_a = np.zeros((10, 6, 8, 8, 2), np.float32)
+        real_m = np.zeros((10, 3, 8, 8, 2), np.float32)
+        mixed_a, mixed_m = mix_partial_real(acqs, maps, real_a, real_m, 3)
+        assert mixed_a.shape[0] == 11
+        np.testing.assert_allclose(mixed_a[:3], 0.0)
+
+
+class TestROICLIDispatch:
+    @pytest.mark.parametrize("model_sel", ["AI-DEAL", "VET-Net", "Mag",
+                                           "U-Net", "MDWF"])
+    def test_dispatch_all_models(self, model_sel, tmp_path):
+        from ideal_gan_tpu.cli import roi_analysis
+        crops = str(tmp_path / "crops.npy")
+        save_crops(crops, [0, 1], [(4, 4), (8, 8)], [(4, 4), (8, 8)])
+        roi_analysis.main([
+            "--dataset", f"t-roi-{model_sel}", "--synthetic", "2",
+            "--data_size", "32", "--model_sel", model_sel,
+            "--experiment_dir", str(tmp_path / "none"),
+            "--crops_file", crops, "--output_base", str(tmp_path)])
+        assert (tmp_path / f"t-roi-{model_sel}"
+                / "ROI_analysis.xlsx").exists()
+
+    def test_pdff_var_mode(self, tmp_path):
+        from ideal_gan_tpu.cli import roi_analysis
+        crops = str(tmp_path / "crops.npy")
+        save_crops(crops, [0], [(4, 4)], [(4, 4)])
+        roi_analysis.main([
+            "--dataset", "t-roi-var", "--synthetic", "2",
+            "--data_size", "32", "--model_sel", "AI-DEAL",
+            "--map", "PDFF-var",
+            "--experiment_dir", str(tmp_path / "none"),
+            "--crops_file", crops, "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-roi-var" / "ROI_analysis.xlsx").exists()
