@@ -32,6 +32,7 @@ from .dicom import (
     write_dicom,
 )
 from .nifti import load_nifti_series, read_nifti, write_nifti
+from .pipeline import Dataset, minmax_norm
 from .pool import ItemPool
 from .records import (
     iter_shards,
@@ -53,5 +54,5 @@ __all__ = [
     "DicomDataset", "gen_ds", "write_dicom", "read_dicom",
     "load_dicom_series", "read_nifti", "write_nifti", "load_nifti_series",
     "write_shard", "read_shards", "list_shards", "iter_shards",
-    "mix_partial_real",
+    "mix_partial_real", "Dataset", "minmax_norm",
 ]
