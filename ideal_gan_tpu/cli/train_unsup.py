@@ -13,6 +13,23 @@ from ..utils import Checkpoint, DictSummaryWriter
 from .common import load_cohorts, setup_experiment
 
 
+def _save_sample(cfg, g_fm, state, a, te_b, gt_maps, epoch, key):
+    import jax.numpy as jnp
+
+    from .. import physics
+    from ..eval import save_sample_grid
+
+    out = g_fm.apply({"params": jax.device_get(state.params_fm)},
+                     jnp.asarray(a), rngs={"bayes": key})
+    fm = out.loc if hasattr(out, "loc") else out
+    pm = jnp.concatenate([fm, jnp.zeros_like(fm)], axis=-1)
+    wf = physics.fit_rho(jnp.asarray(a), pm, jnp.asarray(te_b),
+                         field=cfg["field"])
+    maps = np.concatenate([np.asarray(wf), np.asarray(pm)], axis=1)
+    save_sample_grid(f"{cfg['output_dir']}/samples_training/"
+                     f"iter-{epoch:04d}.png", a, maps, gt_maps)
+
+
 def main(argv=None):
     cfg = setup_experiment(unsup.DEFAULTS, argv)
     acqs, maps, te = load_cohorts(cfg)
@@ -55,6 +72,10 @@ def main(argv=None):
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")
         if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
             ckpt.save(ep + 1, jax.device_get(state))
+            # visual-regression sample grid (reference dumps
+            # samples_training/iter-*.png every sampling interval)
+            _save_sample(cfg, g_fm, state, acqs[:1], te[:1], maps[:1],
+                         ep + 1, key)
         print(f"epoch {ep + 1}/{cfg['epochs']} cycle_loss="
               f"{float(metrics['A2B2A_cycle_loss']):.6f}")
     writer.close()
