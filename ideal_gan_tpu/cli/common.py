@@ -23,8 +23,18 @@ from ..utils import Config, parse_flags
 def setup_experiment(defaults: dict, argv=None,
                      settings_name: str = "settings.yml") -> Config:
     base = {"data_size": 192, "synthetic": 0,
-            "dataset_dir": "../datasets/", "output_base": "output"}
+            "dataset_dir": "../datasets/", "output_base": "output",
+            "debug_nans": False, "profile_dir": "",
+            "compile_cache": "/tmp/jax_cache"}
     cfg = parse_flags({**base, **defaults}, argv)
+    import jax
+    if cfg["compile_cache"]:
+        jax.config.update("jax_compilation_cache_dir", cfg["compile_cache"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if cfg["debug_nans"]:
+        # numeric sanitizer (reference: assert_all_finite sprinkled through
+        # trainers, SURVEY §5); aborts on the first NaN-producing op
+        jax.config.update("jax_debug_nans", True)
     out_dir = Path(cfg["output_base"]) / cfg["dataset"]
     out_dir.mkdir(parents=True, exist_ok=True)
     # Downstream tools (LDM / generation / metrics) write their own

@@ -55,8 +55,12 @@ def main(argv=None):
         state = ckpt.restore(jax.device_get(state), start)
         print(f"resumed from epoch {start}")
 
+    from ..utils.timer import profile
+
     rng = np.random.default_rng(0)
     gstep = start * steps_per_epoch
+    prof_ctx = profile(cfg.get("profile_dir") or None)
+    prof_ctx.__enter__()
     for ep in range(start, cfg["epochs"]):
         for batch in batch_iterator((acqs, maps, te), cfg["batch_size"], rng,
                                     shuffle=cfg["shuffle"]):
@@ -69,6 +73,7 @@ def main(argv=None):
             ckpt.save(ep + 1, jax.device_get(state))
         print(f"epoch {ep + 1}/{cfg['epochs']} "
               f"G_loss={float(metrics['G_loss']):.5f}")
+    prof_ctx.__exit__(None, None, None)
     writer.close()
     ckpt.close()
 
