@@ -60,3 +60,14 @@ def save_sample_grid(path: str, acqs: np.ndarray,
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(path, dpi=90, bbox_inches="tight")
     plt.close(fig)
+
+
+def make_space_above(axes, topmargin: float = 1.0) -> None:
+    """Increase figure top margin (reference tl.make_space_above,
+    tf2lib/utils/utils.py:68-77)."""
+    fig = axes.flatten()[0].figure
+    s = fig.subplotpars
+    w, h = fig.get_size_inches()
+    figh = h - (1 - s.top) * h + topmargin
+    fig.subplots_adjust(bottom=s.bottom * h / figh, top=1 - topmargin / figh)
+    fig.set_figheight(figh)
