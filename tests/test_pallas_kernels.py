@@ -131,3 +131,50 @@ class TestCycleFull:
         gr = jax.grad(loss_ref)(params + 0.05)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=1e-3, atol=1e-5)
+
+
+class TestPhasorRecurrence:
+    def test_nonuniform_te_falls_back_and_matches(self):
+        """Jittered TE trains must take the per-echo path and stay exact."""
+        maps, te, acqs, params = None, None, None, None
+        key = jax.random.PRNGKey(5)
+        te = ph.sample_te_train(key, 6, bs=2)  # non-uniform spacing
+        maps_np = make_maps()
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        fused = np.asarray(kops.fit_rho_fused(acqs, params, te))
+        ref = np.asarray(ph.fit_rho(acqs, params, te))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+    def test_forced_uniform_matches_reference_12_echoes(self):
+        """Recurrence chain over 12 echoes stays within f32 tolerance."""
+        maps_np = make_maps()
+        te = ph.te_train(12, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        fused = np.asarray(kops.fit_rho_fused(acqs, params, te,
+                                              uniform_te=True))
+        ref = np.asarray(ph.fit_rho(acqs, params, te))
+        np.testing.assert_allclose(fused, ref, rtol=5e-4, atol=5e-5)
+
+    def test_cycle_recurrence_matches(self):
+        import ideal_gan_tpu.physics as ph2
+        maps_np = make_maps()
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        rho_f, recon_f = kops.cycle_full_fused(acqs, params, te,
+                                               uniform_te=True)
+        rho_r, recon_r = ph2.cycle_full(acqs, params, te)
+        np.testing.assert_allclose(np.asarray(rho_f), np.asarray(rho_r),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(recon_f), np.asarray(recon_r),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_forward_recurrence_matches(self):
+        maps_np = jnp.asarray(make_maps())
+        te = ph.te_train(6, bs=2)
+        fused = np.asarray(kops.synthesize_fused(maps_np, te,
+                                                 uniform_te=True))
+        ref = np.asarray(ph.synthesize(maps_np, te))
+        np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-5)
