@@ -178,3 +178,19 @@ class TestPhasorRecurrence:
                                                  uniform_te=True))
         ref = np.asarray(ph.synthesize(maps_np, te))
         np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-5)
+
+
+class TestPlanarFit:
+    def test_matches_mebcrn_path(self):
+        maps_np = make_maps()
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        ref = np.asarray(kops.fit_rho_fused(acqs, params, te))
+        rre, rim = kops.fit_rho_planar(
+            acqs[..., 0], acqs[..., 1],
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        np.testing.assert_allclose(np.asarray(rre), ref[..., 0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rim), ref[..., 1],
+                                   rtol=1e-5, atol=1e-6)
