@@ -1,0 +1,77 @@
+"""Train-step wall-time benchmark (SURVEY §7 benchmark harness).
+
+Times one full jitted training step (fwd + bwd + optimizer) for the main
+trainers on synthetic data. Run on TPU:
+
+    python benchmarks/train_step_time.py [--size 192] [--batch 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--filters", type=int, default=36)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.train import sup, teaug, unsup
+
+    nb, h = args.batch, args.size
+    rng = np.random.default_rng(0)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    te = np.asarray(ph.te_train(6, bs=nb))
+    acqs = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps),
+                                             jnp.asarray(te)))
+    key = jax.random.PRNGKey(0)
+
+    def bench(name, step_fn, state, batch):
+        state, m = step_fn(state, batch, key)  # compile
+        jax.block_until_ready(m["G_loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = step_fn(state, batch, key)
+        jax.block_until_ready(m["G_loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
+              f"({nb / dt:7.1f} slices/s)")
+
+    cfg = dict(sup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+               epochs=1, out_vars="PM")
+    model = sup.build_model(cfg)
+    step, tx = sup.make_train_step(cfg, model)
+    state = sup.init_state(cfg, model, tx, key, acqs[:1])
+    bench("sup (PM)", step, state,
+          (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)))
+
+    ucfg = dict(unsup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+                epochs=1)
+    g_fm, g_r2 = unsup.build_models(ucfg)
+    step, tx = unsup.make_train_step(ucfg, g_fm, g_r2)
+    state = unsup.init_state(ucfg, g_fm, g_r2, tx, key, acqs[:1])
+    bench("unsup (FM)", step, state, (jnp.asarray(acqs), jnp.asarray(te)))
+
+    tcfg = dict(teaug.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+                epochs=1)
+    model = teaug.build_model(tcfg)
+    step, tx = teaug.make_train_step(tcfg, model)
+    state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+    bench("teaug (VET)", step, state, (jnp.asarray(maps), jnp.asarray(te)))
+
+
+if __name__ == "__main__":
+    main()
