@@ -18,7 +18,7 @@ from .common import load_cohorts, load_settings, setup_experiment
 
 def main(argv=None):
     cfg = setup_experiment({**ldm_tr.DEFAULTS,
-                            "dataset": "WF-IDEAL"}, argv,
+                            "dataset": "WF-IDEAL", "labels_file": ""}, argv,
                            settings_name="settings_ldm.yml")
     # Overlay: inherit the PI-VAE run's settings, backfilling LDM keys
     # (reference train-ldm.py:32-45 semantics).
@@ -69,7 +69,21 @@ def main(argv=None):
         state, z_std = restored["state"], restored["z_std"]
 
     rng = np.random.default_rng(0)
-    labels = np.zeros((len(acqs),), np.int32)  # steatosis grades via xlsx
+    # steatosis-grade class conditioning from a label sheet (reference
+    # train-ldm.py:91-102 reads xlsx); first column = grade per slice
+    if cfg["labels_file"]:
+        if cfg["labels_file"].endswith(".xlsx"):
+            from ..eval.export import read_xlsx
+            sheet = next(iter(read_xlsx(cfg["labels_file"]).values()))
+            vals = [r[0] for r in sheet[1:] if r and r[0] is not None]
+        else:
+            vals = np.loadtxt(cfg["labels_file"], delimiter=",",
+                              skiprows=1, usecols=0)
+        labels = np.asarray(vals, np.int32)[:len(acqs)]
+        if len(labels) < len(acqs):
+            labels = np.pad(labels, (0, len(acqs) - len(labels)))
+    else:
+        labels = np.zeros((len(acqs),), np.int32)
     gstep = 0
     for ep in range(start, cfg["epochs"]):
         for (A, lab) in batch_iterator((acqs, labels), bs, rng):

@@ -162,3 +162,64 @@ class XlsxWriter:
             z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
             for i, ws in enumerate(self._sheets):
                 z.writestr(f"xl/worksheets/sheet{i + 1}.xml", ws.to_xml())
+
+
+def read_xlsx(path: str) -> dict[str, list[list]]:
+    """Minimal xlsx reader: {sheet_name: rows} with numbers parsed.
+
+    Supports inline strings (our writer) and shared strings (files written
+    by Excel/openpyxl) — enough to read back ROI tables and the steatosis
+    label sheets the reference's LDM trainer consumes
+    (train-ldm.py:91-102)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+          "r": ("http://schemas.openxmlformats.org/officeDocument/2006/"
+                "relationships")}
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(
+                                          f"{{{ns['m']}}}t")))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = {}
+        if "xl/_rels/workbook.xml.rels" in z.namelist():
+            rel_root = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for rel in rel_root:
+                rels[rel.get("Id")] = rel.get("Target")
+        sheets = {}
+        for i, sheet in enumerate(wb.find("m:sheets", ns)):
+            name = sheet.get("name")
+            rid = sheet.get(f"{{{ns['r']}}}id")
+            target = rels.get(rid, f"worksheets/sheet{i + 1}.xml")
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            ws = ET.fromstring(z.read(target))
+            rows = []
+            for row in ws.iter(f"{{{ns['m']}}}row"):
+                cells = []
+                for c in row.findall("m:c", ns):
+                    t = c.get("t")
+                    if t == "inlineStr":
+                        is_el = c.find("m:is/m:t", ns)
+                        cells.append(is_el.text if is_el is not None else "")
+                    else:
+                        v = c.find("m:v", ns)
+                        if v is None:
+                            cells.append(None)
+                        elif t == "s":
+                            cells.append(shared[int(v.text)])
+                        else:
+                            try:
+                                fv = float(v.text)
+                                cells.append(int(fv) if fv == int(fv)
+                                             else fv)
+                            except ValueError:
+                                cells.append(v.text)
+                rows.append(cells)
+            sheets[name] = rows
+    return sheets

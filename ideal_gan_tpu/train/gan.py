@@ -80,6 +80,16 @@ def build_models(cfg):
     return enc, dec_ff, dec_mag, dec_pha, disc, vq
 
 
+def _cgan_pair(a_even_src, a_odd_src):
+    """cGAN echo pairing (train-IDEAL-GAN.py:249-256,300-309): even echoes
+    of the reference signal condition the odd echoes under judgment."""
+    a_ref = a_even_src[:, 0::2]
+    a_x = a_odd_src[:, 1::2]
+    if a_x.shape[1] < a_ref.shape[1]:
+        a_ref = a_ref[:, :-1]
+    return a_ref, a_x
+
+
 def _point_loss(name):
     if name == "MSE":
         return lambda a, b: jnp.mean(jnp.square(a - b))
@@ -128,9 +138,17 @@ def make_train_steps(cfg, models, vgg=None):
         a2b2a = physics.synthesize_mag(a2b, te)
 
         if cfg["adv_train"]:
-            logits = disc.apply(
-                {"params": params_d, "batch_stats": d_stats}, a2b2a,
-                train=False)
+            if cfg["cGAN"]:
+                # condition odd (generated) echoes on even (reference) ones
+                # (train-IDEAL-GAN.py:249-256 pairing)
+                a_ref, a_g = _cgan_pair(A, a2b2a)
+                logits = disc.apply(
+                    {"params": params_d, "batch_stats": d_stats}, a_g,
+                    a_ref, train=False)
+            else:
+                logits = disc.apply(
+                    {"params": params_d, "batch_stats": d_stats}, a2b2a,
+                    train=False)
             g_adv = g_loss_fn(logits)
         else:
             g_adv = jnp.asarray(0.0)
@@ -190,19 +208,38 @@ def make_train_steps(cfg, models, vgg=None):
                                step=state.step + 1), metrics, a2b2a)
 
     def d_loss_fn_full(params_d, d_stats, A, fake):
-        real_logits, mut = disc.apply(
-            {"params": params_d, "batch_stats": d_stats}, A,
-            train=True, mutable=["batch_stats"])
-        fake_logits, mut = disc.apply(
-            {"params": params_d, "batch_stats": mut["batch_stats"]}, fake,
-            train=True, mutable=["batch_stats"])
+        if cfg["cGAN"]:
+            a_ref, a_r = _cgan_pair(A, A)
+            _, a_f = _cgan_pair(A, fake)
+            real_logits, mut = disc.apply(
+                {"params": params_d, "batch_stats": d_stats}, a_r, a_ref,
+                train=True, mutable=["batch_stats"])
+            fake_logits, mut = disc.apply(
+                {"params": params_d, "batch_stats": mut["batch_stats"]},
+                a_f, a_ref, train=True, mutable=["batch_stats"])
+
+            def critic(x):
+                return disc.apply(
+                    {"params": params_d, "batch_stats": d_stats}, x, a_ref,
+                    train=False)
+
+            r1_input = a_r
+        else:
+            real_logits, mut = disc.apply(
+                {"params": params_d, "batch_stats": d_stats}, A,
+                train=True, mutable=["batch_stats"])
+            fake_logits, mut = disc.apply(
+                {"params": params_d, "batch_stats": mut["batch_stats"]},
+                fake, train=True, mutable=["batch_stats"])
+
+            def critic(x):
+                return disc.apply(
+                    {"params": params_d, "batch_stats": d_stats}, x,
+                    train=False)
+
+            r1_input = A
         a_d_loss, f_d_loss = d_loss_fn(real_logits, fake_logits)
-
-        def critic(x):
-            return disc.apply(
-                {"params": params_d, "batch_stats": d_stats}, x, train=False)
-
-        r1 = r1_regularization(critic, A)
+        r1 = r1_regularization(critic, r1_input)
         d_loss = a_d_loss + f_d_loss + r1 * cfg["R1_reg_weight"]
         return d_loss, ({"D_loss": a_d_loss + f_d_loss, "A_d_loss": a_d_loss,
                          "A2B2A_d_loss": f_d_loss, "D_A_r1": r1},
@@ -239,7 +276,11 @@ def init_state(cfg, models, txs, key, sample_A):
         "dec_pha": dec_pha.init(k2, z_split[2])["params"],
         "vq": vq.init(k3, z0)["params"],
     }
-    d_vars = disc.init(k3, A)
+    if cfg["cGAN"]:
+        a_ref, a_x = _cgan_pair(A, A)
+        d_vars = disc.init(k3, a_x, a_ref)
+    else:
+        d_vars = disc.init(k3, A)
     params_d = d_vars["params"]
     d_stats = d_vars.get("batch_stats", {})
     return GANState(params_g, tx_g.init(params_g), params_d, d_stats,

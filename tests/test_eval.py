@@ -190,3 +190,20 @@ class TestInception:
         feats = model.apply(variables, inp)
         assert feats.shape == (2, 2048)
         assert np.all(np.isfinite(np.asarray(feats)))
+
+
+class TestXlsxReader:
+    def test_roundtrip_read(self, tmp_path):
+        from ideal_gan_tpu.eval.export import XlsxWriter, read_xlsx
+        path = str(tmp_path / "labels.xlsx")
+        wb = XlsxWriter(path)
+        ws = wb.add_worksheet("grades")
+        ws.write_row(0, ["grade", "patient"])
+        ws.write_row(1, [2, "p01"])
+        ws.write_row(2, [0, "p02"])
+        wb.close()
+        sheets = read_xlsx(path)
+        assert "grades" in sheets
+        rows = sheets["grades"]
+        assert rows[0][0] == "grade"
+        assert rows[1][0] == 2 and rows[2][0] == 0

@@ -164,3 +164,18 @@ class TestLDM:
         assert acqs.shape == (1, 6, 32, 32, 2)
         assert maps.shape == (1, 3, 32, 32, 2)
         assert np.all(np.isfinite(np.asarray(acqs)))
+
+
+class TestCGAN:
+    def test_cgan_adversarial_path(self):
+        cfg = tiny_cfg(adv_train=True, cGAN=True)
+        models = gan_tr.build_models(cfg)
+        g_step, d_step, txs = gan_tr.make_train_steps(cfg, models)
+        A, B, te = mag_phase_batch()
+        key = jax.random.PRNGKey(0)
+        state = gan_tr.init_state(cfg, models, txs, key, A)
+        state, m, fake = g_step(state, (jnp.asarray(A), jnp.asarray(B),
+                                        jnp.asarray(te)), key)
+        assert np.isfinite(float(m["A2B2A_g_loss"]))
+        state, dm_ = d_step(state, jnp.asarray(A), jnp.asarray(fake))
+        assert np.isfinite(float(dm_["D_loss"]))
