@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from ..data import ItemPool, random_echo_count
+from ..data import ItemPool, random_echo_count, random_phase_offset
 from ..data.hdf5 import mag_phase_maps
 from ..data.layouts import maps_from_mebcrn
 from ..parallel import data_mesh_for_batch, shard_batch
@@ -49,6 +49,10 @@ def main(argv=None):
                 ne_sel = random_echo_count(rng)
                 A = A[:, :ne_sel]
                 te_b = te_b[:, :ne_sel]
+            if cfg["rand_ph_offset"]:
+                key, k_off = jax.random.split(key)
+                A, B = (np.asarray(x) for x in random_phase_offset(
+                    k_off, A, B, unwrapped=cfg["unwrap"]))
             batch = shard_batch((A, B, te_b), mesh)
             state, metrics, fake = g_step(state, batch, k_step)
             if cfg["adv_train"]:

@@ -97,3 +97,33 @@ class TestCLIs:
             "--data_size", "64", "--crops_file", crops_path,
             "--output_base", str(tmp_path)])
         assert (tmp_path / "t-phantom" / "ROI_phantom.xlsx").exists()
+
+    def test_dl_gen_chain(self, tmp_path):
+        """gen_ldm_dataset shards feed train_sup --DL_gen."""
+        import numpy as np
+        from ideal_gan_tpu.cli import train_sup
+        from ideal_gan_tpu.data.records import write_shard
+        rng = np.random.default_rng(0)
+        # mag/phase-layout generated maps + synthesized acqs
+        from ideal_gan_tpu import physics as ph
+        import jax.numpy as jnp
+        ff = rng.uniform(0, 0.6, (16, 32, 32)).astype(np.float32)
+        pd = rng.uniform(0.3, 0.9, (16, 32, 32)).astype(np.float32)
+        r2s = rng.uniform(0, 0.4, (16, 32, 32)).astype(np.float32)
+        pha = rng.uniform(-0.1, 0.1, (16, 32, 32)).astype(np.float32)
+        phi = rng.uniform(-0.2, 0.2, (16, 32, 32)).astype(np.float32)
+        zeros = np.zeros_like(ff)
+        maps_mp = np.stack([
+            np.stack([ff, zeros], -1),
+            np.stack([pd, r2s], -1),
+            np.stack([pha, phi], -1)], 1).astype(np.float32)
+        te = ph.te_train(6, bs=16)
+        acqs = np.asarray(ph.synthesize_mag(jnp.asarray(maps_mp), te))
+        gen_dir = tmp_path / "gen"
+        write_shard(str(gen_dir / "LDM_ds_0000"), acqs, maps_mp)
+        train_sup.main([
+            "--dataset", "t-dlgen", "--DL_gen", "true",
+            "--DL_gen_dir", str(gen_dir), "--n_G_filters", "4",
+            "--batch_size", "8", "--epochs", "1", "--epoch_ckpt", "1",
+            "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-dlgen" / "checkpoints").exists()
