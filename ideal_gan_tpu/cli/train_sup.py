@@ -47,9 +47,18 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     state = sup.init_state(cfg, model, tx, key, acqs[:1])
 
+    # hold out a validation split (reference uses a separate cohort;
+    # summaries/validation writer parity, train-sup.py:470-471)
+    n_val = max(len(acqs) // 10, cfg["batch_size"])         if len(acqs) > 2 * cfg["batch_size"] else 0
+    val = (acqs[:n_val], maps[:n_val], te[:n_val]) if n_val else None
+    if n_val:
+        acqs, maps, te = acqs[n_val:], maps[n_val:], te[n_val:]
+
     mesh = data_mesh_for_batch(cfg["batch_size"])
     ckpt = Checkpoint(f"{cfg['output_dir']}/checkpoints")
     writer = DictSummaryWriter(f"{cfg['output_dir']}/summaries/train")
+    val_writer = DictSummaryWriter(
+        f"{cfg['output_dir']}/summaries/validation") if n_val else None
     start = ckpt.latest_step() or 0
     if start:
         state = ckpt.restore(jax.device_get(state), start)
@@ -69,6 +78,11 @@ def main(argv=None):
             gstep += 1
             if gstep % 20 == 0:
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")
+        if val_writer is not None:
+            vb = tuple(v[:cfg["batch_size"]] for v in val)
+            _, vmetrics = step_fn(state, shard_batch(vb, mesh), key)
+            val_writer.write(jax.device_get(vmetrics), gstep,
+                             name="G_losses")
         if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
             ckpt.save(ep + 1, jax.device_get(state))
         print(f"epoch {ep + 1}/{cfg['epochs']} "

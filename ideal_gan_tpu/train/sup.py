@@ -51,18 +51,24 @@ class SupState(NamedTuple):
 def build_model(cfg):
     """Generator selection (train-sup.py:169-226). The reference's 'MEBCRN'
     branch calls a function that does not exist (dl.MEBCRN,
-    train-sup.py:217) — we reject it with a clear error instead."""
+    train-sup.py:217) — we reject it with a clear error instead.
+
+    With bf16=True the CNN computes in bfloat16 (params stay f32; the
+    physics ops always run f32 — SURVEY §7 numerics rule)."""
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     if cfg["G_model"] == "multi-decod":
         return MDWFNet(filters=cfg["n_G_filters"],
                        wf_self_attention=cfg["D1_SelfAttention"],
                        r2_self_attention=cfg["D2_SelfAttention"],
-                       fm_self_attention=cfg["D3_SelfAttention"])
+                       fm_self_attention=cfg["D3_SelfAttention"],
+                       dtype=dtype)
     if cfg["G_model"] == "U-Net":
         n_out = 4 if cfg["out_vars"] == "WF-PM" else 2
         out_activ = "sigmoid" if cfg["out_vars"] in ("WF", "PM") else "relu"
         return UNet(n_out=n_out, filters=cfg["n_G_filters"],
                     output_activation=out_activ,
-                    self_attention=cfg["D1_SelfAttention"])
+                    self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     raise NameError(
         f"Unrecognized generator {cfg['G_model']!r} (note: the reference's "
         "'MEBCRN' option is dead code — dl.MEBCRN does not exist)")
@@ -94,7 +100,7 @@ def make_train_step(cfg, model):
         B_PM = B_leg[..., 4:]
         B_WF_abs = jnp.abs(B_WF[..., 0::2] + 1j * B_WF[..., 1::2])
 
-        out = model.apply({"params": params}, A_leg)
+        out = model.apply({"params": params}, A_leg).astype(jnp.float32)
         metrics = {}
         mae = lambda a, b: jnp.mean(jnp.abs(a - b))
 

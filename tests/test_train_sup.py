@@ -76,3 +76,10 @@ class TestSupTrainer:
             assert False, "should have raised"
         except NameError as e:
             assert "MEBCRN" in str(e)
+
+
+class TestBF16:
+    def test_bf16_training_finite_and_decreasing(self):
+        losses, _ = run_steps({"out_vars": "WF", "bf16": True}, n_steps=6)
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
