@@ -34,7 +34,7 @@ DEFAULTS = dict(
     data_aug_p=0.4, n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, grad_clip=1.0,
     FM_TV_weight=0.0, FM_L1_weight=0.0, R2_TV_weight=0.0, R2_L1_weight=0.0,
-    D1_SelfAttention=True, D2_SelfAttention=False,
+    D1_SelfAttention=True, D2_SelfAttention=False, uniform_te=True,
 )
 
 
@@ -87,7 +87,11 @@ def make_train_step(cfg, g_fm, g_r2):
             r2_sigma = None
 
         pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)  # (nb,1,H,W,2)
-        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"])
+        # uniform_te engages the phasor-recurrence kernel inside jit
+        # (traced TE arrays defeat the auto-detection); protocol TE trains
+        # are uniformly spaced
+        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                     uniform_te=cfg.get("uniform_te", False))
         a_hat = jnp.where(A != 0.0, a_hat, 0.0)
 
         if uq:
@@ -148,7 +152,8 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
         out_r2 = g_r2.apply({"params": params_r2}, a_abs, rngs={"bayes": k2})
         r2_mean, _ = _as_mean_sigma(out_r2)
         pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
-        _, a_hat = cycle_full_fused(A, pm, te, cfg["field"])
+        _, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                    uniform_te=cfg.get("uniform_te", False))
         a_hat = jnp.where(A != 0.0, a_hat, 0.0)
         loss = jnp.mean(jnp.square(A - a_hat))
         r2_tv = jnp.sum(total_variation_2d(r2_mean[:, 0])) * cfg["R2_TV_weight"]
