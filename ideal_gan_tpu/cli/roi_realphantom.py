@@ -51,12 +51,14 @@ def main(argv=None):
     if not Path(crops_file).exists():
         raise SystemExit(f"no crops file at {crops_file}")
     per_vial, bias = roi_mod.phantom_bias(pdff, crops_file)
+    per_slice = roi_mod.phantom_per_slice(pdff, crops_file)
     for g in sorted(bias):
         if not np.isnan(bias[g]):
             print(f"vial GT={g:.3f}: bias {bias[g]:+.4f} "
                   f"({len(per_vial[g])} ROIs)")
     out = Path(cfg["output_dir"]) / cfg["out_xlsx"]
-    roi_mod.export_phantom_xlsx(str(out), per_vial, bias)
+    roi_mod.export_phantom_xlsx(str(out), per_vial, bias,
+                                per_slice=per_slice)
     print(f"wrote {out}")
 
 

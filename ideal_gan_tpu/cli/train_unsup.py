@@ -30,9 +30,43 @@ def _save_sample(cfg, g_fm, state, a, te_b, gt_maps, epoch, key):
                      f"iter-{epoch:04d}.png", a, maps, gt_maps)
 
 
+def _load_series_folders(cfg):
+    """Train directly from DICOM/NIfTI folders (reference
+    train-IDEAL-unsup.py:124-156): each subject folder contains an MECSE
+    DICOM series or a BIDS nifti set; slices are concatenated."""
+    import os
+
+    from .. import physics
+    from ..data import load_dicom_series, load_nifti_series
+    loader = (load_dicom_series if cfg["train_data"] == "DICOM"
+              else load_nifti_series)
+    folders = sorted(os.path.join(cfg["dataset_dir"], d)
+                     for d in os.listdir(cfg["dataset_dir"])
+                     if os.path.isdir(os.path.join(cfg["dataset_dir"], d)))
+    vols = [loader(f) for f in folders]
+    acqs = np.concatenate(vols)
+    ne = acqs.shape[1]
+    te = np.asarray(physics.te_train(ne, bs=len(acqs)))
+    maps = np.zeros((len(acqs), 3) + acqs.shape[2:4] + (2,), np.float32)
+    return acqs, maps, te
+
+
 def main(argv=None):
-    cfg = setup_experiment(unsup.DEFAULTS, argv)
-    acqs, maps, te = load_cohorts(cfg)
+    cfg = setup_experiment({**unsup.DEFAULTS, "train_data": "HDF5",
+                            "k_fold": 0, "k_folds_total": 5}, argv)
+    if cfg["train_data"] in ("DICOM", "NIFTI"):
+        acqs, maps, te = _load_series_folders(cfg)
+    else:
+        acqs, maps, te = load_cohorts(cfg)
+    # k-fold split over the cohort (reference k_fold over 5 cohorts,
+    # train-IDEAL-unsup.py:92-104): fold k held out for validation
+    if cfg["k_fold"] > 0:
+        k = cfg["k_fold"] - 1
+        n_folds = cfg["k_folds_total"]
+        fold_sz = max(len(acqs) // n_folds, 1)
+        val_idx = np.arange(k * fold_sz, min((k + 1) * fold_sz, len(acqs)))
+        train_idx = np.setdiff1d(np.arange(len(acqs)), val_idx)
+        acqs, maps, te = acqs[train_idx], maps[train_idx], te[train_idx]
     n = len(acqs)
     steps_per_epoch = max(n // cfg["batch_size"], 1)
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
@@ -58,6 +92,9 @@ def main(argv=None):
             # host-side geometric aug + random echo truncation
             if rng.random() <= cfg["data_aug_p"]:
                 A = np.asarray(random_geometric(k_aug, A))
+            if cfg["remove_ech1"]:
+                A = A[:, 1:]
+                te_b = te_b[:, 1:]
             if cfg["rand_ne"]:
                 ne_sel = random_echo_count(rng)
                 A = A[:, :ne_sel]

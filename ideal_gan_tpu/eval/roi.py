@@ -103,6 +103,27 @@ def phantom_bias(pdff_stack: np.ndarray, crops_file: str,
     return per_vial, bias
 
 
+def phantom_per_slice(pdff_stack: np.ndarray, crops_file: str,
+                      gt_vals: Sequence[float] = PHANTOM_GT_VALS,
+                      wdt: int = 8) -> dict:
+    """Per-slice (GT, measured) pairs for the per-slice worksheet export."""
+    frms, crops_1, _ = load_crops(crops_file)
+    out: dict[int, list] = {}
+    n_slices = int(frms.max()) + 1 if len(frms) else 0
+    for k in range(n_slices):
+        idxs = [i for i, x in enumerate(frms) if x == k]
+        pairs = []
+        for vial_pos, i in enumerate(idxs):
+            if vial_pos >= len(gt_vals):
+                break
+            lx, sy = int(crops_1[i][0]), int(crops_1[i][1])
+            pairs.append((gt_vals[vial_pos],
+                          roi_median(pdff_stack[k], lx, sy, wdt)))
+        if pairs:
+            out[k] = pairs
+    return out
+
+
 def export_roi_xlsx(path: str, res_model: ROIResult, res_ref: ROIResult,
                     map_name: str = "PDFF") -> None:
     """Two-sheet (RHL/LHL) workbook matching the reference's layout
@@ -120,15 +141,24 @@ def export_roi_xlsx(path: str, res_model: ROIResult, res_ref: ROIResult,
     wb.close()
 
 
-def export_phantom_xlsx(path: str, per_vial: dict, bias: dict) -> None:
-    """Per-vial workbook (ROI-realPhantom per-slice sheets condensed into
-    one GT/measured/bias table)."""
+def export_phantom_xlsx(path: str, per_vial: dict, bias: dict,
+                        per_slice: dict | None = None) -> None:
+    """Phantom workbook: a summary sheet (GT/mean/bias per vial) plus
+    optional per-slice sheets matching the reference layout
+    (ROI-realPhantom.py:344-360: Slice_<k> sheets with
+    Ground-truth / Reference / Model-result columns)."""
     wb = XlsxWriter(path)
     ws = wb.add_worksheet("Phantom")
     ws.write_row(0, ["Ground-truth", "Mean measured", "Bias", "N"])
     for i, (g, vals) in enumerate(sorted(per_vial.items())):
         mean_v = float(np.mean(vals)) if vals else float("nan")
         ws.write_row(i + 1, [g, mean_v, bias[g], len(vals)])
+    if per_slice:
+        for k in sorted(per_slice):
+            ws_k = wb.add_worksheet(f"Slice_{k}")
+            ws_k.write_row(0, ["Ground-truth", "Model res."])
+            for i, (g, v) in enumerate(per_slice[k]):
+                ws_k.write_row(i + 1, [g, v])
     wb.close()
 
 

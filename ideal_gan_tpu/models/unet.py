@@ -38,6 +38,9 @@ class UNet(nn.Module):
     std_out: bool = False
     me_layer: bool = False
     te_input: bool = False
+    cse_layer: bool = False
+    field: float = 1.5
+    r2_sc: float = 200.0
     filters: int = 72
     num_layers: int = 4
     dropout: float = 0.0
@@ -49,6 +52,7 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x, te: Optional[jnp.ndarray] = None,
                  train: bool = True):
+        inputs_acqs = x  # kept for the CSE physics layer
         folded_echoes = None
         if self.me_layer:
             x = ConvLSTM(self.filters, dtype=self.dtype)(x)
@@ -91,6 +95,21 @@ class UNet(nn.Module):
         if folded_echoes is not None:
             nb, ne = folded_echoes
             out = out.reshape((nb, ne) + out.shape[1:])
+
+        if self.cse_layer:
+            # physics-in-model: reproject the input acquisitions through
+            # the IDEAL cycle using the predicted (FM, R2*) maps
+            # (reference CSE_layer option appends wf.CSE_to_CSE_Layer,
+            # DLlib/module.py:431-433)
+            from ..physics import cycle, te_train_for_field
+            te_cse = te
+            if te_cse is None:
+                te_cse = te_train_for_field(
+                    inputs_acqs.shape[1], inputs_acqs.shape[0], self.field)
+            elif te_cse.ndim == 2:
+                te_cse = te_cse[..., None]
+            return cycle(inputs_acqs, out, te_cse, field=self.field,
+                         r2_sc=self.r2_sc)
 
         if self.bayesian or self.std_out:
             x_std = nn.Conv(16, (1, 1),

@@ -191,3 +191,19 @@ class TestDistributions:
     def test_rician_log_prob_zeroed_nonpositive(self):
         d = Rician(jnp.asarray(1.0), jnp.asarray(0.5))
         assert float(d.log_prob(jnp.asarray(-1.0))) == 0.0
+
+
+class TestCSELayer:
+    def test_unet_cse_layer_returns_cycle(self):
+        """CSE_layer option: the model output is the physics reprojection
+        of its input acquisitions (DLlib/module.py:431-433)."""
+        from ideal_gan_tpu import physics as ph
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(1, 6, 32, 32, 2)).astype(np.float32) * 0.3)
+        te = ph.te_train(6, bs=1)
+        model = UNet(n_out=2, me_layer=True, cse_layer=True, filters=8,
+                     num_layers=2)
+        variables = model.init(KEY, x, te[..., 0])
+        out = model.apply(variables, x, te[..., 0])
+        assert out.shape == x.shape  # reprojected acquisitions
+        assert np.all(np.isfinite(np.asarray(out)))
