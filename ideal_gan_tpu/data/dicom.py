@@ -235,12 +235,21 @@ def pixel_array(tags: dict) -> np.ndarray:
                          count=rows * cols).reshape(cols, rows)
 
 
-def load_dicom_series(folder_path: str) -> np.ndarray:
+def load_dicom_series(folder_path: str,
+                      backend: str = "auto") -> np.ndarray:
     """Philips multi-echo CSE series loader (reference load_dicom_series,
     data.py:417-480): group files by slice position and echo number,
     rescale by the private (0x2005,0x100D/E) intercept/slope, combine
     magnitude·e^{i·phase}, normalize globally, return
-    (n_slices, ne, H, W, 2)."""
+    (n_slices, ne, H, W, 2).
+
+    backend='auto' uses the native C++ parser when built (falling back to
+    this python walk); 'python' forces the pure-python path."""
+    if backend == "auto":
+        from .dicom_native import load_dicom_series_native
+        out = load_dicom_series_native(folder_path)
+        if out is not None:
+            return out
     files = sorted(os.path.join(folder_path, f)
                    for f in os.listdir(folder_path) if f.endswith(".dcm"))
     sl_mag: dict = {}

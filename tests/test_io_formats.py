@@ -84,3 +84,56 @@ class TestNifti:
         v_full = nif.load_nifti_series(str(tmp_path), half_echoes=False)
         assert v_full.shape == (z, ne, y, x, 2)
         assert np.isfinite(v_full).all()
+
+
+class TestNativeDicom:
+    def test_native_parser_matches_python(self, tmp_path):
+        from ideal_gan_tpu.data.dicom_native import (native_available,
+                                                     parse_dicom_native)
+        if not native_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        ds = dcm.gen_ds(1)
+        ds.EchoNumbers = 3
+        ds.EchoTrainLength = 6
+        ds.ImagePositionPatient = "0\\0\\2.5"
+        ds[(0x2005, 0x1011)] = ("LO", "P")
+        ds[(0x2005, 0x100D)] = ("DS", "10.0")
+        ds[(0x2005, 0x100E)] = ("DS", "2.0")
+        img = np.arange(64, dtype=np.uint16).reshape(8, 8)
+        ds.Columns = 8
+        ds.Rows = 8
+        ds.PixelData = img.tobytes()
+        path = str(tmp_path / "t.dcm")
+        ds.save_as(path)
+        meta, px = parse_dicom_native(path)
+        assert meta["echo_num"] == 3 and meta["echo_train"] == 6
+        assert meta["component"] == "P"
+        assert meta["slice_pos"] == 2.5
+        assert meta["rescale_i"] == 10.0 and meta["rescale_s"] == 2.0
+        np.testing.assert_array_equal(px.reshape(8, 8), img)
+
+    def test_native_series_matches_python_loader(self, tmp_path):
+        from ideal_gan_tpu.data.dicom_native import (
+            load_dicom_series_native, native_available)
+        if not native_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(3)
+        ne = 2
+        for sl, zpos in enumerate(["0\\0\\1.0", "0\\0\\2.0"]):
+            for ech in range(ne):
+                ds = dcm.gen_ds(0)
+                ds.EchoNumbers = ech + 1
+                ds.EchoTrainLength = ne
+                ds.ImagePositionPatient = zpos
+                ds[(0x2005, 0x100D)] = ("DS", "0.0")
+                ds[(0x2005, 0x100E)] = ("DS", "1.0")
+                ds.Columns = 8
+                ds.Rows = 8
+                ds.PixelData = rng.integers(
+                    0, 1000, (8, 8)).astype(np.uint16).tobytes()
+                ds.save_as(tmp_path / f"s{sl}_e{ech}.dcm")
+        nat = load_dicom_series_native(str(tmp_path))
+        py = dcm.load_dicom_series(str(tmp_path), backend="python")
+        np.testing.assert_allclose(nat, py, rtol=1e-6, atol=1e-7)
