@@ -1,0 +1,54 @@
+"""Data-parallel semantics: the sharded train step must match the
+single-device computation exactly (the all-reduce XLA inserts under DP is
+a mean-preserving reduction)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ideal_gan_tpu import physics as ph
+from ideal_gan_tpu.parallel import (batch_sharding, data_mesh,
+                                    data_mesh_for_batch, replicate,
+                                    shard_batch)
+from ideal_gan_tpu.train import sup
+
+from test_physics import make_maps
+
+
+class TestDataParallel:
+    def test_mesh_helpers(self):
+        mesh = data_mesh()
+        assert mesh.devices.size == 8
+        assert data_mesh_for_batch(6).devices.size in (1, 2, 3, 6)
+        x = jnp.zeros((8, 4))
+        xs = jax.device_put(x, batch_sharding(mesh))
+        assert len(xs.sharding.device_set) == 8
+        r = jax.device_put(jnp.zeros(3), replicate(mesh))
+        assert r.sharding.is_fully_replicated
+
+    def test_sharded_step_matches_single_device(self):
+        cfg = dict(sup.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=8, epochs=1, out_vars="WF")
+        model = sup.build_model(cfg)
+        maps = np.concatenate([make_maps(nb=4, h=32, w=32, seed=s)
+                               for s in (1, 2)])
+        te = ph.te_train(6, bs=8)
+        acqs = np.asarray(ph.synthesize(jnp.asarray(maps), te))
+        step_fn, tx = sup.make_train_step(cfg, model)
+        key = jax.random.PRNGKey(0)
+        state0 = sup.init_state(cfg, model, tx, key, acqs[:1])
+
+        batch = (jnp.asarray(acqs), jnp.asarray(maps),
+                 jnp.asarray(np.asarray(te)))
+        # single device
+        state1, m1 = step_fn(state0, batch, key)
+        # sharded over the 8-device mesh
+        mesh = data_mesh()
+        state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
+
+        np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
+                                   rtol=1e-5)
+        p1 = jax.tree_util.tree_leaves(jax.device_get(state1.params))
+        p2 = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
