@@ -50,5 +50,8 @@ class TestDataParallel:
                                    rtol=1e-5)
         p1 = jax.tree_util.tree_leaves(jax.device_get(state1.params))
         p2 = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+        # Adam amplifies f32 reduction-order noise for near-zero gradients
+        # (update ±lr when the gradient sign flips), so params compare
+        # within 2·lr; the loss itself matches tightly above.
         for a, b in zip(p1, p2):
-            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(a, b, atol=2 * 5e-4, rtol=1e-3)
