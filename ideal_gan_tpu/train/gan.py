@@ -122,18 +122,20 @@ def make_train_steps(cfg, models, vgg=None):
     def encode(params_g, A, key, train=True):
         out = enc.apply({"params": params_g["enc"]}, A, train)
         vq_loss = jnp.asarray(0.0)
+        perplexity = jnp.asarray(0.0)
         kl = jnp.asarray(0.0)
         if cfg["VQ_encoder"]:
             z, aux = vq.apply({"params": params_g["vq"]}, out,
                               mutable=["losses", "metrics"])
             vq_loss = jax.tree_util.tree_leaves(aux["losses"])[-1]
+            perplexity = jax.tree_util.tree_leaves(aux["metrics"])[-1]
         else:
             z = out.sample(key)
             kl = jnp.mean(out.kl_to_std_normal())
-        return z, vq_loss, kl
+        return z, vq_loss, kl, perplexity
 
     def g_loss_fn_full(params_g, params_d, d_stats, A, B, te, key):
-        z, vq_loss, kl = encode(params_g, A, key)
+        z, vq_loss, kl, perplexity = encode(params_g, A, key)
         a2b = decode_maps(cfg, models, params_g, z)
         a2b2a = physics.synthesize_mag(a2b, te)
 
@@ -164,6 +166,17 @@ def make_train_steps(cfg, models, vgg=None):
         b_cycle = cycle_loss(B[:, :2], a2b[:, :2])
         b_cycle += cycle_loss(B[:, 2:], a2b[:, 2:]) * cfg["FM_loss_weight"]
 
+        # Fourier-domain cycle regularizer (reference F_op + msle,
+        # train-IDEAL-GAN.py:242-246,275; default weight 0.0)
+        if cfg["Fourier_reg_weight"] > 0.0:
+            from ..models import fourier_layer
+            a_f = fourier_layer(A)
+            a2b2a_f = fourier_layer(a2b2a)
+            f_cycle = jnp.mean(jnp.square(
+                jnp.log1p(jnp.abs(a_f)) - jnp.log1p(jnp.abs(a2b2a_f))))
+        else:
+            f_cycle = jnp.asarray(0.0)
+
         # The D×D latent covariance is only materialized when the
         # whitening regularizer is active (the reference computes it
         # unconditionally, train-IDEAL-GAN.py:228, which is O(D²) memory).
@@ -178,11 +191,13 @@ def make_train_steps(cfg, models, vgg=None):
                   + cfg["B_loss_weight"] * b_cycle + g_adv
                   + kl * cfg["ls_reg_weight"]
                   + vq_loss * cfg["ls_reg_weight"]
-                  + cov_loss * cfg["cov_reg_weight"])
+                  + cov_loss * cfg["cov_reg_weight"]
+                  + f_cycle * cfg["Fourier_reg_weight"])
         metrics = {"A2B2A_g_loss": g_adv, "A2B2A_cycle_loss": a_cycle,
-                   "B2A2B_cycle_loss": b_cycle, "LS_reg": kl,
+                   "B2A2B_cycle_loss": b_cycle,
+                   "A2B2A_f_cycle_loss": f_cycle, "LS_reg": kl,
                    "Cov_reg": cov_loss, "VQ_loss": vq_loss,
-                   "G_loss": g_loss}
+                   "VQ_perplexity": perplexity, "G_loss": g_loss}
         return g_loss, (metrics, a2b2a)
 
     total_steps = cfg.get("total_steps", cfg["epochs"])

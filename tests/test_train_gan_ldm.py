@@ -179,3 +179,29 @@ class TestCGAN:
         assert np.isfinite(float(m["A2B2A_g_loss"]))
         state, dm_ = d_step(state, jnp.asarray(A), jnp.asarray(fake))
         assert np.isfinite(float(dm_["D_loss"]))
+
+
+class TestGANRegs:
+    def test_fourier_and_cov_regs(self):
+        cfg = tiny_cfg(Fourier_reg_weight=1e-4, cov_reg_weight=1e-4)
+        models = gan_tr.build_models(cfg)
+        g_step, d_step, txs = gan_tr.make_train_steps(cfg, models)
+        A, B, te = mag_phase_batch()
+        key = jax.random.PRNGKey(0)
+        state = gan_tr.init_state(cfg, models, txs, key, A)
+        state, m, _ = g_step(state, (jnp.asarray(A), jnp.asarray(B),
+                                     jnp.asarray(te)), key)
+        assert np.isfinite(float(m["A2B2A_f_cycle_loss"]))
+        assert float(m["A2B2A_f_cycle_loss"]) > 0
+        assert np.isfinite(float(m["Cov_reg"]))
+
+    def test_vq_perplexity_reported(self):
+        cfg = tiny_cfg(VQ_encoder=True, VQ_num_embed=8)
+        models = gan_tr.build_models(cfg)
+        g_step, _, txs = gan_tr.make_train_steps(cfg, models)
+        A, B, te = mag_phase_batch()
+        key = jax.random.PRNGKey(0)
+        state = gan_tr.init_state(cfg, models, txs, key, A)
+        _, m, _ = g_step(state, (jnp.asarray(A), jnp.asarray(B),
+                                 jnp.asarray(te)), key)
+        assert 1.0 <= float(m["VQ_perplexity"]) <= 8.0
