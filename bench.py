@@ -34,7 +34,7 @@ def main():
     from ideal_gan_tpu import physics as ph
     from ideal_gan_tpu import ops as kops
 
-    nb, ne, h, w = 32, 6, 384, 384
+    nb, ne, h, w = 128, 6, 384, 384
     rng = np.random.default_rng(0)
 
     # Realistic inputs: synthesize signals from plausible maps.
