@@ -511,3 +511,85 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     rre = rre[:, :, :rows].reshape(nb, ns, hgt, wdt)
     rim = rim[:, :, :rows].reshape(nb, ns, hgt, wdt)
     return rre, rim
+
+
+def _mag_fit_kernel(ne, r2_sc, rho_sc, uniform,
+                    te_ref, a_ref, ap_ref, s_ref, r2_ref,
+                    rho_ref, rec_ref, ls_ref, unc_ref):
+    """Magnitude-domain LS fit (reference CSE_mag,
+    wflib/IDEAL_model.py:314-401): demodulate |S|² by e^{2·te·R2*}, fit the
+    3-parameter quadratic model through A⁺, rank-1 (|W|, |F|) via the
+    closed-form 2×2 eigensolver, reproject |Ŝ|."""
+    b = pl.program_id(0)
+    r2s = r2_ref[0, 0] * r2_sc
+    if uniform:
+        te1 = te_ref[b, 0]
+        dte = te_ref[b, 1] - te_ref[b, 0]
+        w = jnp.exp(te1 * r2s)
+        wd = jnp.exp(dte * r2s)
+    # LS coefficients (a, b, c) per voxel.
+    acc = [jnp.zeros_like(r2s) for _ in range(3)]
+    ws = []
+    for e in range(ne):
+        if uniform:
+            w_e = w
+            if e < ne - 1:
+                w = w * wd
+        else:
+            w_e = jnp.exp(te_ref[b, e] * r2s)
+        ws.append(w_e)
+        wms = jnp.square(w_e * s_ref[0, e])
+        for k in range(3):
+            acc[k] += ap_ref[b, k * ne + e] * wms
+    for k in range(3):
+        ls_ref[0, k] = acc[k] * (1.0 / (rho_sc * rho_sc))
+    # Reprojection: |Ŝ|_e = sqrt(max(A·(a,b,c), 0)) / w_e (masked).
+    for e in range(ne):
+        aawms = (a_ref[b, e * 3] * acc[0] + a_ref[b, e * 3 + 1] * acc[1]
+                 + a_ref[b, e * 3 + 2] * acc[2])
+        pos = aawms > 1e-6
+        safe = jnp.where(pos, aawms, 1.0)
+        rec_ref[0, e] = jnp.where(pos, jnp.sqrt(safe), 0.0) / ws[e]
+    # Closed-form 2×2 eigensolver (matrix.eigenvals_2x2 math).
+    a_c, b_c, c_c = acc
+    adiff_half = 0.5 * (a_c - c_c)
+    b_half = 0.5 * b_c
+    delta = jnp.sqrt(adiff_half * adiff_half + b_half * b_half + 1e-12)
+    lam_max = 0.5 * (a_c + c_c) + delta
+    lam_min = 0.5 * (a_c + c_c) - delta
+    lam_max_pos = jnp.maximum(lam_max, 0.0)
+    lam_min_pos = jnp.maximum(lam_min, 0.0)
+    vx = b_half
+    vy = lam_max - a_c
+    norm = jnp.sqrt(vx * vx + vy * vy + 1e-12)
+    vx = jnp.where(norm > 0, vx / norm, 0.0)
+    vy = jnp.where(norm > 0, vy / norm, 0.0)
+    lam_safe = jnp.where(lam_max_pos > 0, lam_max_pos, 1.0)
+    scale = jnp.where(lam_max_pos > 0, jnp.sqrt(lam_safe), 0.0)
+    rho_ref[0, 0] = scale * vx * (1.0 / rho_sc)
+    rho_ref[0, 1] = scale * vy * (1.0 / rho_sc)
+    lam_div = jnp.where(lam_max_pos > 0, lam_max_pos, 1.0)
+    unc_ref[0, 0] = jnp.where(lam_max_pos > 0, lam_min_pos / lam_div, 0.0)
+
+
+def cse_mag_fused(acqs, out_maps, te, field=1.5, r2_sc=R2_SC,
+                  rho_sc=RHO_SC, species: SpeciesModel = WATER_FAT_7PEAK,
+                  uniform_te: bool | None = None):
+    """Fused magnitude-domain fit (physics.cse_mag_fit fast path;
+    reference CSE_mag). Forward-only (the training path differentiates the
+    jnp reference). acqs (nb, ne, H, W, 1) magnitudes; out_maps
+    (nb, 1, H, W, ≥1) with channel 0 = normalized R2*. Returns
+    (rho (nb,2,H,W,1), recon (nb,ne,H,W,1), ls (nb,3,H,W,1),
+    unc (nb,1,H,W,1))."""
+    nb, ne, hgt, wdt, _ = acqs.shape
+    m = mx.model_matrix(te, field, species)
+    a, a_pinv = mx.mag_design_matrix(m)
+    te_flat = te.reshape(nb, ne).astype(jnp.float32)
+    uniform = _te_is_uniform(te) if uniform_te is None else uniform_te
+    kernel = functools.partial(_mag_fit_kernel, ne, r2_sc, rho_sc, uniform)
+    rho, rec, ls, unc = _launch(
+        kernel,
+        (te_flat, a.reshape(nb, -1), a_pinv.reshape(nb, -1)),
+        [(acqs[..., 0], ne), (out_maps[:, 0:1, ..., 0], 1)],
+        [2, ne, 3, 1])
+    return (rho[..., None], rec[..., None], ls[..., None], unc[..., None])

@@ -194,3 +194,40 @@ class TestPlanarFit:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(rim), ref[..., 1],
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestMagFitFused:
+    def test_matches_jnp_reference(self):
+        rng = np.random.default_rng(5)
+        nb, ne, h, w = 2, 6, 24, 128
+        te = ph.te_train(ne, bs=nb)
+        acqs = jnp.asarray(np.abs(rng.normal(
+            size=(nb, ne, h, w, 1))).astype(np.float32))
+        out_maps = jnp.asarray(rng.uniform(
+            0, 0.4, (nb, 1, h, w, 1)).astype(np.float32))
+        ref = ph.cse_mag_fit(acqs, out_maps, te)
+        rho, rec, ls, unc = kops.cse_mag_fused(acqs, out_maps, te)
+        # f32 accumulation-order noise flips a handful of voxels sitting
+        # exactly on the sqrt/eigen thresholds → atol dominates there
+        np.testing.assert_allclose(np.asarray(rho), np.asarray(ref.rho),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(ref.recon),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(ref.ls_coeffs),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(unc),
+                                   np.asarray(ref.uncertainty),
+                                   rtol=1e-3, atol=5e-4)
+
+    def test_nonuniform_te(self):
+        rng = np.random.default_rng(6)
+        nb, ne, h, w = 1, 6, 16, 128
+        te = ph.sample_te_train(jax.random.PRNGKey(1), ne, bs=nb)
+        acqs = jnp.asarray(np.abs(rng.normal(
+            size=(nb, ne, h, w, 1))).astype(np.float32))
+        out_maps = jnp.asarray(rng.uniform(
+            0, 0.4, (nb, 1, h, w, 1)).astype(np.float32))
+        ref = ph.cse_mag_fit(acqs, out_maps, te)
+        rho, rec, ls, unc = kops.cse_mag_fused(acqs, out_maps, te)
+        np.testing.assert_allclose(np.asarray(rho), np.asarray(ref.rho),
+                                   rtol=1e-3, atol=5e-4)
