@@ -75,6 +75,7 @@ def infer_maps(cfg, acqs, te):
                 fm_mean, fm_var = out.loc, out.variance()
             else:
                 fm_mean, fm_var = out, jnp.zeros_like(out)
+            fm_mean = fm_mean + state.fm_offset
             a_abs = jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True))
             out_r2 = g_r2.apply({"params": state.params_r2}, a_abs,
                                 rngs={"bayes": key})

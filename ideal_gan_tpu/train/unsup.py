@@ -35,6 +35,7 @@ DEFAULTS = dict(
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, grad_clip=1.0,
     FM_TV_weight=0.0, FM_L1_weight=0.0, R2_TV_weight=0.0, R2_L1_weight=0.0,
     D1_SelfAttention=True, D2_SelfAttention=False, uniform_te=True,
+    learn_fm_offset=False, fm_offset_lr=1e-3,
 )
 
 
@@ -45,6 +46,7 @@ class UnsupState(NamedTuple):
     opt_r2: Any
     calib: Any          # 1×1 non-neg conv weight, shape (1,)
     opt_calib: Any
+    fm_offset: Any      # learnable global FM offset (normalized units)
     step: jnp.ndarray
 
 
@@ -70,11 +72,17 @@ def make_train_step(cfg, g_fm, g_r2):
     uq = cfg["UQ"]
     pm_mode = cfg["out_vars"] == "PM"
 
-    def loss_fn(params_fm, params_r2, calib, A, te, key):
+    def loss_fn(params_fm, fm_offset, params_r2, calib, A, te, key):
         k1, k2 = jax.random.split(key)
         rngs = {"bayes": k1}
         out_fm = g_fm.apply({"params": params_fm}, A, rngs=rngs)
         fm_mean, fm_sigma = _as_mean_sigma(out_fm)
+        if cfg.get("learn_fm_offset"):
+            # Instance-normalized CNNs carry no DC channel, so the
+            # absolute field-map level is weakly constrained (the
+            # water-fat swap/offset ambiguity); a learnable global offset
+            # restores it — trained by the same cycle loss.
+            fm_mean = fm_mean + fm_offset
 
         if pm_mode:
             a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
@@ -128,12 +136,15 @@ def make_train_step(cfg, g_fm, g_r2):
     @jax.jit
     def train_step(state: UnsupState, batch, key):
         A, te = batch
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params_fm, state.params_r2,
-                                   state.calib, A, te, key)
+        (loss, metrics), (grads, g_off) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params_fm, state.fm_offset, state.params_r2,
+                state.calib, A, te, key)
         updates, opt_fm = tx.update(grads, state.opt_fm, state.params_fm)
         params_fm = optax.apply_updates(state.params_fm, updates)
+        fm_offset = state.fm_offset - cfg["fm_offset_lr"] * g_off
         return state._replace(params_fm=params_fm, opt_fm=opt_fm,
+                              fm_offset=fm_offset,
                               step=state.step + 1), metrics
 
     return train_step, tx
@@ -143,10 +154,12 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
     """Second phase: train the R2* net with the FM net frozen (reference
     train_G_R2, train-IDEAL-unsup.py:267-331)."""
 
-    def loss_fn(params_r2, params_fm, A, te, key):
+    def loss_fn(params_r2, params_fm, fm_offset, A, te, key):
         k1, k2 = jax.random.split(key)
         out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1})
         fm_mean, _ = _as_mean_sigma(out_fm)
+        if cfg.get("learn_fm_offset"):
+            fm_mean = fm_mean + fm_offset
         fm_mean = jax.lax.stop_gradient(fm_mean)
         a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
         out_r2 = g_r2.apply({"params": params_r2}, a_abs, rngs={"bayes": k2})
@@ -165,8 +178,8 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
     def train_step(state: UnsupState, batch, key):
         A, te = batch
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params_r2, state.params_fm, A, te,
-                                   key)
+            loss_fn, has_aux=True)(state.params_r2, state.params_fm,
+                                   state.fm_offset, A, te, key)
         updates, opt_r2 = tx.update(grads, state.opt_r2, state.params_r2)
         params_r2 = optax.apply_updates(state.params_r2, updates)
         return state._replace(params_r2=params_r2, opt_r2=opt_r2,
@@ -184,4 +197,5 @@ def init_state(cfg, g_fm, g_r2, tx, key, sample_A):
     calib = jnp.ones((1,), jnp.float32)
     return UnsupState(params_fm, tx.init(params_fm),
                       params_r2, tx.init(params_r2),
-                      calib, None, jnp.zeros((), jnp.int32))
+                      calib, None, jnp.zeros((), jnp.float32),
+                      jnp.zeros((), jnp.int32))

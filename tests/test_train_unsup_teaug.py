@@ -86,3 +86,28 @@ class TestTEAug:
         cfg3 = dict(teaug.DEFAULTS, field=3.0)
         te3 = teaug.sample_te(rng, cfg3, 2)
         assert te3[0, 0, 0] < te[0, 0, 0] + 2e-3
+
+
+class TestFMOffset:
+    def test_learned_offset_recovers_global_shift(self):
+        """A constant field-map shift in the data must flow into the
+        learnable offset (the DC channel instance-norm CNNs can't carry)."""
+        cfg = dict(unsup.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=8, epochs=2,
+                   learn_fm_offset=True, fm_offset_lr=5e-2)
+        g_fm, g_r2 = unsup.build_models(cfg)
+        maps, te, _ = synth_batch()
+        maps = maps.copy()
+        maps[:, 2, ..., 0] += 0.15  # global FM shift
+        acqs = np.asarray(ph.synthesize(jnp.asarray(maps),
+                                        jnp.asarray(te)))
+        step_fn, tx = unsup.make_train_step(cfg, g_fm, g_r2)
+        key = jax.random.PRNGKey(0)
+        state = unsup.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
+        offsets = [float(state.fm_offset)]
+        for i in range(10):
+            state, m = step_fn(state, (jnp.asarray(acqs), jnp.asarray(te)),
+                               jax.random.fold_in(key, i))
+            offsets.append(float(state.fm_offset))
+        assert np.isfinite(offsets[-1])
+        assert abs(offsets[-1]) > abs(offsets[0])  # offset is learning
