@@ -1,12 +1,15 @@
 """Train-step wall-time benchmark (SURVEY §7 benchmark harness).
 
 Times one full jitted training step (fwd + bwd + optimizer) for the main
-trainers on synthetic data. Run on TPU:
+trainers on synthetic data, plus the bare physics-cycle kernel
+(fwd + bwd) in its fused-Pallas and pure-XLA variants. Run on TPU:
 
-    python benchmarks/train_step_time.py [--size 192] [--batch 8]
+    python benchmarks/train_step_time.py [--size 384] [--batch 8] \
+        [--json BENCH_train_r02.json]
 """
 
 import argparse
+import json
 import sys
 import time
 
@@ -21,7 +24,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--filters", type=int, default=36)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--json", default="", help="write results to this file")
     args = ap.parse_args()
+    results = []
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -49,6 +54,39 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
               f"({nb / dt:7.1f} slices/s)")
+        results.append({"name": name, "ms_per_step": dt * 1e3,
+                        "slices_per_s": nb / dt, "batch": nb,
+                        "size": h, "filters": args.filters})
+
+    # --- bare cycle kernel, fwd+bwd: fused Pallas vs pure XLA ----------
+    from ideal_gan_tpu.ops import cycle_full_fused
+    from ideal_gan_tpu.physics import cycle_full
+
+    pm = jnp.asarray(maps[:, 2:3])
+    a_j, te_j = jnp.asarray(acqs), jnp.asarray(te)
+
+    def _cycle_loss(fn, uniform):
+        def loss(p, a, t):
+            kw = {"uniform_te": True} if uniform else {}
+            _, a_hat = fn(a, p, t, **kw)
+            return jnp.mean(jnp.square(a - a_hat))
+        return jax.jit(jax.value_and_grad(loss))
+
+    for name, fn, uniform in (("cycle fused", cycle_full_fused, True),
+                              ("cycle XLA", cycle_full, False)):
+        g = _cycle_loss(fn, uniform)
+        l, _ = g(pm, a_j, te_j)
+        jax.block_until_ready(l)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            l, gr = g(pm, a_j, te_j)
+        jax.block_until_ready(l)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
+              f"({nb / dt:7.1f} slices/s) [fwd+bwd]")
+        results.append({"name": name, "ms_per_step": dt * 1e3,
+                        "slices_per_s": nb / dt, "batch": nb, "size": h,
+                        "note": "cycle kernel fwd+bwd only"})
 
     cfg = dict(sup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
                epochs=1, out_vars="PM")
@@ -71,6 +109,17 @@ def main():
     step, tx = teaug.make_train_step(tcfg, model)
     state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
     bench("teaug (VET)", step, state, (jnp.asarray(maps), jnp.asarray(te)))
+
+    if args.json:
+        import datetime
+        out = {"device": str(jax.devices()[0]),
+               "config": {"size": h, "batch": nb,
+                          "filters": args.filters, "iters": args.iters},
+               "results": results}
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -84,8 +84,9 @@ def main(argv=None):
         maps = gan_tr.decode_maps(gan_cfg, models, gstate.params_g, z,
                                   train=False)
         from .. import physics
-        a_gen = physics.synthesize_mag(maps, physics.te_train(
-            cfg["n_echoes"], bs=nb))
+        # jitted: eager complex physics is unsupported on the TPU backend
+        a_gen = jax.jit(physics.synthesize_mag)(
+            maps, jnp.asarray(physics.te_train(cfg["n_echoes"], bs=nb)))
         samples.append(np.asarray(a_gen))
         real = acqs[n_drawn:n_drawn + nb]
         fid.update(np.asarray(inception_like_feats(jnp.asarray(real))),

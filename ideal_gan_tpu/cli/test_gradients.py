@@ -56,7 +56,8 @@ def main(argv=None):
             te_b, field=cfg["field"])
         return var_mse(a, jnp.concatenate([a_hat, a_var], axis=-1))
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params_r2)
+    # jitted: eager complex physics ops are unsupported on the TPU backend
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(state.params_r2)
     leaves = jax.tree_util.tree_leaves(grads)
     n_finite = sum(bool(np.all(np.isfinite(np.asarray(l)))) for l in leaves)
     g_max = max(float(np.abs(np.asarray(l)).max()) for l in leaves)

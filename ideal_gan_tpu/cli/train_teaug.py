@@ -21,10 +21,14 @@ def main(argv=None):
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
 
     model = teaug.build_model(cfg)
-    step_fn, tx = teaug.make_train_step(cfg, model)
+    r2_model = (teaug.build_r2_model(cfg) if cfg["G_model"] == "2U-Net"
+                else None)
+    step_fn, tx = teaug.make_train_step(cfg, model, r2_model)
+    r2_step_fn = (teaug.make_r2_train_step(cfg, model, r2_model, tx)
+                  if r2_model is not None else None)
     key = jax.random.PRNGKey(0)
     state = teaug.init_state(cfg, model, tx, key, h=maps.shape[2],
-                             w=maps.shape[3])
+                             w=maps.shape[3], r2_model=r2_model)
 
     mesh = data_mesh_for_batch(cfg["batch_size"])
     ckpt = Checkpoint(f"{cfg['output_dir']}/checkpoints")
@@ -48,6 +52,11 @@ def main(argv=None):
             te = teaug.sample_te(rng, cfg, len(B))
             batch = shard_batch((B, te), mesh)
             state, metrics = step_fn(state, batch, k_step)
+            if r2_step_fn is not None:
+                # 2U-Net: alternate G_A2R2 training with G_A2B frozen
+                # (reference train_step, train-IDEAL-TEaug.py:424-429)
+                state, r2m = r2_step_fn(state, batch, k_step)
+                metrics.update(r2m)
             gstep += 1
             if gstep % 20 == 0:
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")

@@ -19,12 +19,15 @@ def _save_sample(cfg, g_fm, state, a, te_b, gt_maps, epoch, key):
     from .. import physics
     from ..eval import save_sample_grid
 
-    out = g_fm.apply({"params": jax.device_get(state.params_fm)},
-                     jnp.asarray(a), rngs={"bayes": key})
-    fm = out.loc if hasattr(out, "loc") else out
-    pm = jnp.concatenate([fm, jnp.zeros_like(fm)], axis=-1)
-    wf = physics.fit_rho(jnp.asarray(a), pm, jnp.asarray(te_b),
-                         field=cfg["field"])
+    @jax.jit  # eager complex physics ops are unsupported on the TPU backend
+    def infer(params_fm, a, te_b):
+        out = g_fm.apply({"params": params_fm}, a, rngs={"bayes": key})
+        fm = out.loc if hasattr(out, "loc") else out
+        pm = jnp.concatenate([fm, jnp.zeros_like(fm)], axis=-1)
+        wf = physics.fit_rho(a, pm, te_b, field=cfg["field"])
+        return wf, pm
+
+    wf, pm = infer(state.params_fm, jnp.asarray(a), jnp.asarray(te_b))
     maps = np.concatenate([np.asarray(wf), np.asarray(pm)], axis=1)
     save_sample_grid(f"{cfg['output_dir']}/samples_training/"
                      f"iter-{epoch:04d}.png", a, maps, gt_maps)
@@ -59,7 +62,10 @@ def main(argv=None):
     else:
         acqs, maps, te = load_cohorts(cfg)
     # k-fold split over the cohort (reference k_fold over 5 cohorts,
-    # train-IDEAL-unsup.py:92-104): fold k held out for validation
+    # train-IDEAL-unsup.py:92-104): fold k held out for validation. With
+    # UQ_calib the tail of the training fold becomes the calibration split
+    # (reference calib_divs, train-IDEAL-unsup.py:94-99).
+    calib_data = None
     if cfg["k_fold"] > 0:
         k = cfg["k_fold"] - 1
         n_folds = cfg["k_folds_total"]
@@ -67,6 +73,10 @@ def main(argv=None):
         val_idx = np.arange(k * fold_sz, min((k + 1) * fold_sz, len(acqs)))
         train_idx = np.setdiff1d(np.arange(len(acqs)), val_idx)
         acqs, maps, te = acqs[train_idx], maps[train_idx], te[train_idx]
+    if cfg["UQ_calib"]:
+        n_cal = max(len(acqs) // 5, cfg["batch_size"])
+        calib_data = (acqs[-n_cal:], te[-n_cal:])
+        acqs, maps, te = acqs[:-n_cal], maps[:-n_cal], te[:-n_cal]
     n = len(acqs)
     steps_per_epoch = max(n // cfg["batch_size"], 1)
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
@@ -115,6 +125,31 @@ def main(argv=None):
                          ep + 1, key)
         print(f"epoch {ep + 1}/{cfg['epochs']} cycle_loss="
               f"{float(metrics['A2B2A_cycle_loss']):.6f}")
+
+    # σ-calibration stage (reference UQ_calib run, train-IDEAL-unsup.py:
+    # 272,315-317): nets frozen, per-echo calibration scale trained with
+    # SGD on the calibration split; held-out NLL reported before/after.
+    if cfg["UQ_calib"] and calib_data is not None:
+        import jax.numpy as jnp
+        cal_acqs, cal_te = calib_data
+        calib_step = unsup.make_calib_train_step(cfg, g_fm, g_r2)
+        nll_fn = unsup.eval_calibrated_nll(cfg, g_fm, g_r2)
+        n_hold = max(len(cal_acqs) // 4, 1)
+        hold = (jnp.asarray(cal_acqs[:n_hold]), jnp.asarray(cal_te[:n_hold]))
+        fit_acqs, fit_te = cal_acqs[n_hold:], cal_te[n_hold:]
+        cal_bs = min(cfg["batch_size"], len(fit_acqs))
+        nll0 = float(nll_fn(state, *hold, key))
+        for cep in range(cfg["epochs"]):
+            for (A, te_b) in batch_iterator((fit_acqs, fit_te), cal_bs,
+                                            rng):
+                key, k_step = jax.random.split(key)
+                state, cm = calib_step(
+                    state, shard_batch((A, te_b), mesh), k_step)
+        nll1 = float(nll_fn(state, *hold, key))
+        print(f"calibration: held-out NLL {nll0:.5f} → {nll1:.5f}, "
+              f"calib={np.asarray(state.calib)}")
+        ckpt.save(cfg["epochs"] + 1, jax.device_get(state))
+
     writer.close()
     ckpt.close()
 

@@ -142,7 +142,21 @@ def inception_preprocess(x_rgb01: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_inception_v3(key=None):
+    """InceptionV3 feature extractor. Loads converted ImageNet weights
+    when a `weights/inception_v3.npz` artifact exists; otherwise falls
+    back to a fixed-seed random init with a logged warning (FID against
+    random features is relative-only)."""
+    from .metrics import weights_path
     model = InceptionV3Features()
+    path = weights_path("inception_v3.npz")
+    if path is not None:
+        return model, load_inception_npz(path)
+    import logging
+    logging.getLogger(__name__).warning(
+        "InceptionV3: no pretrained weights found "
+        "(weights/inception_v3.npz) — using fixed-seed RANDOM init; FID "
+        "values are relative only. Run tools/convert_keras_weights.py "
+        "to ship real weights.")
     key = key if key is not None else jax.random.PRNGKey(4321)
     variables = model.init(key, jnp.zeros((1, 139, 139, 3)))
     return model, variables

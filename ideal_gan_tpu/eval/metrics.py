@@ -67,9 +67,27 @@ def vgg_preprocess(x_rgb01: jnp.ndarray) -> jnp.ndarray:
     return x_bgr - _IMAGENET_MEAN_BGR
 
 
+def weights_path(name: str):
+    """Resolve a converted-weights npz: $IDEAL_GAN_TPU_WEIGHTS_DIR/<name>
+    or <repo>/weights/<name>. Returns None when absent (zero-egress
+    environments without a shipped weights artifact)."""
+    import os
+    from pathlib import Path
+    cands = []
+    env = os.environ.get("IDEAL_GAN_TPU_WEIGHTS_DIR")
+    if env:
+        cands.append(Path(env) / name)
+    cands.append(Path(__file__).resolve().parents[2] / "weights" / name)
+    for c in cands:
+        if c.exists():
+            return str(c)
+    return None
+
+
 def load_vgg19_npz(path: str):
     """Load VGG19 conv weights from an npz with arrays conv_{i}_kernel /
-    conv_{i}_bias (HWIO kernels)."""
+    conv_{i}_bias (HWIO kernels) — produced by
+    tools/convert_keras_weights.py."""
     data = np.load(path)
     params = {}
     for i in range(16):
@@ -81,9 +99,20 @@ def load_vgg19_npz(path: str):
 
 
 def init_vgg19(key=None, taps: Sequence[int] = _DEFAULT_TAPS):
-    """Fixed-seed random-init VGG19 feature extractor (weights unavailable
-    offline). Returns (module, variables)."""
+    """VGG19 feature extractor. Loads converted ImageNet weights when a
+    `weights/vgg19.npz` artifact exists (reference behavior,
+    DLlib/metrics.py:9); otherwise falls back to a fixed-seed random init
+    (a random multi-scale projection — valid only for relative
+    comparisons) and says so. Returns (module, variables)."""
     model = VGG19Features(taps=tuple(taps))
+    path = weights_path("vgg19.npz")
+    if path is not None:
+        return model, load_vgg19_npz(path)
+    import logging
+    logging.getLogger(__name__).warning(
+        "VGG19: no pretrained weights found (weights/vgg19.npz) — using "
+        "fixed-seed RANDOM init; perceptual losses/metrics are relative "
+        "only. Run tools/convert_keras_weights.py to ship real weights.")
     key = key if key is not None else jax.random.PRNGKey(1234)
     variables = model.init(key, jnp.zeros((1, 64, 64, 3)))
     return model, variables

@@ -76,7 +76,10 @@ def roi_stats(stack: np.ndarray, crops_file: str, stat: str = "median",
         res.slices.append(int(k))
         res.values_1.append(fn(stack[int(k)], int(crops_1[i][0]),
                                int(crops_1[i][1]), wdt))
-        if len(crops_2) > i:
+        # crops_2 is parallel to crops_1 with a (-1, -1) sentinel for
+        # 1-ROI slices (eval.tracker.NO_ROI); negative corners are skipped.
+        if len(crops_2) > i and int(crops_2[i][0]) >= 0 \
+                and int(crops_2[i][1]) >= 0:
             res.values_2.append(fn(stack[int(k)], int(crops_2[i][0]),
                                    int(crops_2[i][1]), wdt))
     return res

@@ -15,6 +15,11 @@ import numpy as np
 
 from .export import load_crops, save_crops
 
+# Sentinel for "this slice has no second ROI" — keeps crops_2 parallel to
+# crops_1 in the stacked-npy format. Negative coordinates are impossible
+# for real crops (they're top-left corners), so consumers skip them.
+NO_ROI = (-1, -1)
+
 
 class IndexTracker:
     """ROI tracker over a (H, W, n_slices) map stack."""
@@ -35,6 +40,10 @@ class IndexTracker:
             self.frms = [int(f) for f in frms]
             self.crops_1 = [tuple(c) for c in crops_1]
             self.crops_2 = [tuple(c) for c in crops_2]
+            # legacy files may have a shorter crops_2 (pre-sentinel
+            # format): pad to parallel so indices line up
+            self.crops_2 += [NO_ROI] * (len(self.crops_1)
+                                        - len(self.crops_2))
         except (FileNotFoundError, ValueError):
             self.frms, self.crops_1, self.crops_2 = [], [], []
         self._pending: list[tuple[int, int]] = []
@@ -66,16 +75,19 @@ class IndexTracker:
         if event.key == "s" and self._pending:
             self.frms.append(self.ind)
             self.crops_1.append(self._pending[0])
-            if len(self._pending) > 1:
-                self.crops_2.append(self._pending[1])
+            # crops_2 stays STRICTLY parallel to crops_1 (the reference
+            # keeps parallel lists, utils.py:100-109); slices with a
+            # single ROI store the (-1, -1) sentinel so later erases on
+            # interleaved 1-ROI/2-ROI slices can't desynchronize indices.
+            self.crops_2.append(self._pending[1]
+                                if len(self._pending) > 1 else NO_ROI)
             self._pending = []
             self.save()
         elif event.key == "e":
             keep = [i for i, f in enumerate(self.frms) if f != self.ind]
             self.frms = [self.frms[i] for i in keep]
             self.crops_1 = [self.crops_1[i] for i in keep]
-            self.crops_2 = [self.crops_2[i] for i in keep
-                            if i < len(self.crops_2)]
+            self.crops_2 = [self.crops_2[i] for i in keep]
             self._pending = []
             self.save()
         self._update()
@@ -94,7 +106,7 @@ class IndexTracker:
             if f != self.ind:
                 continue
             for crops in (self.crops_1, self.crops_2):
-                if i < len(crops):
+                if i < len(crops) and tuple(crops[i]) != NO_ROI:
                     lx, sy = crops[i]
                     self.ax.add_patch(patches.Rectangle(
                         (lx, sy), self.wdt, self.wdt, linewidth=1.2,

@@ -20,6 +20,20 @@ from .blocks import Norm, ResidualBlock, Upsample, get_activation
 from .convlstm import ConvLSTM
 
 
+def _filter_list(filters, num_layers: int) -> list:
+    """Per-level filter widths: int → doubling schedule, sequence → as
+    given (reference `--n_G_filt_list` semantics,
+    train-IDEAL-GAN.py:67-68 / DLlib/module.py:797-798,861-863)."""
+    if isinstance(filters, (list, tuple)):
+        filters = list(filters)
+        if len(filters) != num_layers + 1:
+            raise ValueError(
+                f"filter list must have num_layers+1={num_layers + 1} "
+                f"entries, got {len(filters)}")
+        return filters
+    return [filters * 2 ** k for k in range(num_layers + 1)]
+
+
 class Encoder(nn.Module):
     """conv stem (+ ConvLSTM multi-echo front) → num_layers × [res-blocks,
     stride-2 conv] → optional res+SA+res → latent head
@@ -27,7 +41,7 @@ class Encoder(nn.Module):
 
     encoded_dims: int
     multi_echo: bool = True
-    filters: int = 36
+    filters: Any = 36   # int, or per-level tuple of len num_layers+1
     num_layers: int = 4
     num_res_blocks: int = 2
     sd_out: bool = True
@@ -38,7 +52,7 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        filters = [self.filters * 2 ** k for k in range(self.num_layers + 1)]
+        filters = _filter_list(self.filters, self.num_layers)
         if self.multi_echo:
             x = ConvLSTM(filters[0], dtype=self.dtype)(x)
         x = nn.Conv(filters[0], (3, 3),
@@ -86,7 +100,7 @@ class Decoder(nn.Module):
     n_out: int
     multi_echo: bool = True
     n_groups: int = 1
-    filters: int = 36
+    filters: Any = 36   # int, or per-level tuple of len num_layers+1
     num_layers: int = 4
     num_res_blocks: int = 2
     output_activation: str = "tanh"
@@ -98,8 +112,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         from .bayes import FlipoutConv
-        filters = [self.filters * 2 ** k for k in range(self.num_layers + 1)]
-        filters = filters[::-1]
+        filters = _filter_list(self.filters, self.num_layers)[::-1]
         x = nn.Conv(self.encoded_dims, (3, 3),
                     kernel_init=nn.initializers.he_normal(),
                     dtype=self.dtype)(x)

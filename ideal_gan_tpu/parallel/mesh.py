@@ -31,10 +31,20 @@ def data_mesh(n_devices: int | None = None, model: int = 1) -> Mesh:
 
 def data_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
     """Largest 'data' mesh that divides the batch size evenly (so small
-    full-batch trainers still shard cleanly)."""
-    n = len(jax.devices())
+    full-batch trainers still shard cleanly). Warns when the batch size
+    forces idle devices (e.g. the GAN default batch_size=1 on an 8-chip
+    slice trains single-device) so the degradation is never silent."""
+    import logging
+    n_avail = len(jax.devices())
+    n = n_avail
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n < n_avail:
+        logging.getLogger(__name__).warning(
+            "data_mesh_for_batch: batch_size=%d is not divisible by the "
+            "%d available devices — using a %d-device mesh (%d devices "
+            "idle). Pick a batch size divisible by the device count to "
+            "use the full slice.", batch_size, n_avail, n, n_avail - n)
     return data_mesh(n, model=model)
 
 

@@ -31,8 +31,13 @@ from .common import linear_decay_schedule, make_adam
 
 DEFAULTS = dict(
     dataset="WF-IDEAL", data_size=192, rand_ne=False, rand_ph_offset=False,
-    unwrap=True, n_G_filters=36, n_downsamplings=4, n_res_blocks=2,
-    encoded_size=256, VQ_encoder=False, VQ_num_embed=64, VQ_commit_cost=0.5,
+    unwrap=True, n_G_filters=36, n_G_filt_list="", n_downsamplings=4,
+    n_res_blocks=2,
+    # NOTE: the reference defaults encoded_size=256, which its own
+    # tf.split(z, 3) crashes on (train-IDEAL-GAN.py:31,234); per SURVEY
+    # §7.9 policy this is fixed: default 258 = 3·86 and validated at
+    # build time.
+    encoded_size=258, VQ_encoder=False, VQ_num_embed=64, VQ_commit_cost=0.5,
     adv_train=False, cGAN=False, n_D_filters=72, batch_size=1, epochs=100,
     epoch_decay=100, epoch_ckpt=20, lr=0.0002, D_lr_factor=1, beta_1=0.5,
     beta_2=0.9, critic_train_steps=1, R1_reg_weight=0.2, main_loss="MSE",
@@ -51,10 +56,42 @@ class GANState(NamedTuple):
     step: jnp.ndarray
 
 
-def build_models(cfg):
+def parse_filt_list(cfg):
+    """--n_G_filt_list: comma-separated per-level encoder widths; decoder
+    widths are the list divided by the decoder-count factors (reference
+    train-IDEAL-GAN.py:67-68,138-145). Returns (nfe, nfd, nfd2) where each
+    is an int or a per-level tuple."""
     nd = 3
+    raw = cfg.get("n_G_filt_list", "")
+    if isinstance(raw, str) and raw:
+        filt_list = [int(a) for a in raw.split(",")]
+    elif isinstance(raw, (list, tuple)) and raw:
+        filt_list = [int(a) for a in raw]
+    else:
+        filt_list = []
+    if len(filt_list) == cfg["n_downsamplings"] + 1:
+        return (tuple(filt_list),
+                tuple(a // nd for a in filt_list),
+                tuple(a // (nd + 1) for a in filt_list))
+    if filt_list:
+        raise ValueError(
+            f"--n_G_filt_list needs n_downsamplings+1="
+            f"{cfg['n_downsamplings'] + 1} entries, got {len(filt_list)}")
+    return (cfg["n_G_filters"], cfg["n_G_filters"] // nd,
+            cfg["n_G_filters"] // (nd + 1))
+
+
+def build_models(cfg):
+    if cfg["encoded_size"] % 3 != 0:
+        raise ValueError(
+            f"encoded_size must be divisible by 3 (the latent splits into "
+            f"ff/mag/pha decoder thirds), got {cfg['encoded_size']}. The "
+            f"reference shares this constraint but defaults to an invalid "
+            f"256 (train-IDEAL-GAN.py:31,234); use e.g. "
+            f"{cfg['encoded_size'] + (3 - cfg['encoded_size'] % 3)}.")
+    nfe, nfd, nfd2 = parse_filt_list(cfg)
     enc = Encoder(encoded_dims=cfg["encoded_size"],
-                  filters=cfg["n_G_filters"],
+                  filters=nfe,
                   num_layers=cfg["n_downsamplings"],
                   num_res_blocks=cfg["n_res_blocks"],
                   sd_out=not cfg["VQ_encoder"], ls_mean_activ="None",
@@ -63,13 +100,13 @@ def build_models(cfg):
                   num_res_blocks=cfg["n_res_blocks"],
                   nl_self_attention=cfg["NL_SelfAttention"])
     dec_ff = Decoder(encoded_dims=cfg["encoded_size"] // 3, n_out=1,
-                     filters=cfg["n_G_filters"] // (nd + 1),
+                     filters=nfd2,
                      output_activation="sigmoid", **common)
     dec_mag = Decoder(encoded_dims=cfg["encoded_size"] // 3, n_out=2,
-                      filters=cfg["n_G_filters"] // nd,
+                      filters=nfd,
                       output_activation="relu", **common)
     dec_pha = Decoder(encoded_dims=cfg["encoded_size"] // 3, n_out=2,
-                      filters=cfg["n_G_filters"] // nd,
+                      filters=nfd,
                       output_activation="none", **common)
     disc = PatchGAN(dim=cfg["n_D_filters"], cgan=cfg["cGAN"],
                     multi_echo=True,

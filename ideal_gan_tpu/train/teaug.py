@@ -4,14 +4,39 @@ train-IDEAL-TEaug.py).
 Data-free physics augmentation: each step samples a fresh random TE train,
 synthesizes acquisitions from the GT maps through the forward physics op
 plus Gaussian noise (train-IDEAL-TEaug.py:217-218, 614-628), and trains a
-TE-conditioned generator (VET-Net by default) on the B→A→B̂ cycle with MAE
-+ TV regularizers. Geometric and field-map-scaling augmentation are applied
-host-side via ideal_gan_tpu.data.augment.
+TE-conditioned generator on the B→A→B̂ cycle with MAE + TV regularizers.
+Geometric and field-map-scaling augmentation are applied host-side via
+ideal_gan_tpu.data.augment.
+
+Model zoo (reference train-IDEAL-TEaug.py:152-195):
+- "PM-Gen"/"VET-Net": PM_Generator with ConvLSTM front + TE-AdaIN.
+- "U-Net": single UNet predicting the PM rows (out_vars="PM") or the
+  water/fat magnitudes (out_vars="WF").
+- "MDWF-Net": MDWF_Generator predicting [|W|,|F|, R2*, FM] jointly
+  (out_vars="WF-PM"). The reference constructs this model but its WF-PM
+  loss branch is commented out (train-IDEAL-TEaug.py:314-340) — here the
+  branch is implemented as written there.
+- "2U-Net": a second UNet `G_A2R2` estimates R2* from echo magnitudes,
+  trained by its own step with the FM net frozen and vice versa
+  (train-IDEAL-TEaug.py:280-288, 364-420).
+
+`sel_weight` enables the phase-coherence selective weighting over the
+first three echoes (train-IDEAL-TEaug.py:224-232). Divergence
+(documented): the reference applies `**= sel_weight_pwr` inside the echo
+accumulation loop (re-exponentiating partial sums each iteration) —
+here the power is applied once to the accumulated weight.
+
+Divergence (documented): the reference's U-Net PM branch rescales the
+tanh field-map head as (FM−0.5)·2 — a leftover from a sigmoid-era head
+that maps tanh output into [−3, 1] — and flips the PM channel order to
+[R2*, FM] before `get_rho`, which reads [FM, R2*]
+(train-IDEAL-TEaug.py:296-304). Here the U-Net head keeps [FM, R2*]
+order with FM=tanh and R2*=(tanh+1)/2 ∈ [0,1].
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +54,8 @@ DEFAULTS = dict(
     out_vars="PM", n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, noise_std=0.1,
     FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4,
-    R2_TV_weight=0.0, FM_TV_weight=0.0,
+    R2_TV_weight=0.0, FM_TV_weight=0.0, sel_weight=False, sel_weight_pwr=1.0,
+    te_input=True,
     R2_SelfAttention=False, FM_SelfAttention=True,
 )
 
@@ -38,20 +64,37 @@ class TEAugState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    params_r2: Any = None   # 2U-Net second generator (G_A2R2)
+    opt_r2: Any = None
 
 
 def build_model(cfg):
-    if cfg["G_model"] in ("PM-Gen", "VET-Net"):
-        return VETNet(me_layer=True, te_input=True,
+    """Primary generator G_A2B (reference train-IDEAL-TEaug.py:152-195)."""
+    if cfg["G_model"] in ("PM-Gen", "VET-Net", "multi-decod"):
+        return VETNet(me_layer=True, te_input=cfg.get("te_input", True),
                       filters=cfg["n_G_filters"],
                       r2_self_attention=cfg["R2_SelfAttention"],
                       fm_self_attention=cfg["FM_SelfAttention"])
-    if cfg["G_model"] == "U-Net":
-        return UNet(n_out=2, me_layer=True, te_input=True,
-                    filters=cfg["n_G_filters"])
+    if cfg["G_model"] in ("U-Net", "2U-Net"):
+        n_out = 1 if cfg["G_model"] == "2U-Net" else 2
+        return UNet(n_out=n_out, me_layer=True,
+                    te_input=cfg.get("te_input", True),
+                    filters=cfg["n_G_filters"],
+                    self_attention=cfg["FM_SelfAttention"])
     if cfg["G_model"] == "MDWF-Net":
-        return MDWFNet(filters=cfg["n_G_filters"], te_input=True)
+        return MDWFNet(filters=cfg["n_G_filters"],
+                       te_input=cfg.get("te_input", True),
+                       r2_self_attention=cfg["R2_SelfAttention"],
+                       fm_self_attention=cfg["FM_SelfAttention"])
     raise NameError(f"Unrecognized generator {cfg['G_model']!r}")
+
+
+def build_r2_model(cfg):
+    """Second UNet G_A2R2 for the 2U-Net config: sigmoid R2* head on echo
+    magnitudes (train-IDEAL-TEaug.py:176-184)."""
+    return UNet(n_out=1, me_layer=True, te_input=cfg.get("te_input", True),
+                filters=cfg["n_G_filters"], output_activation="sigmoid",
+                self_attention=cfg["R2_SelfAttention"])
 
 
 def sample_te(rng: np.random.Generator, cfg, bs: int) -> np.ndarray:
@@ -70,31 +113,102 @@ def sample_te(rng: np.random.Generator, cfg, bs: int) -> np.ndarray:
     return np.asarray(te)
 
 
-def make_train_step(cfg, model):
-    def loss_fn(params, B, te, key):
+def _selective_weight(cfg, B, A, te):
+    """Phase-coherence selective weighting (train-IDEAL-TEaug.py:224-232):
+    per-voxel weight from the agreement between each of the first three
+    observed echo phases and the phase predicted by the GT field-map plus
+    the GT water phase."""
+    sel_w = 0.0
+    for echo in range(3):
+        obs = jnp.arctan2(A[:, echo:echo + 1, :, :, 1:],
+                          A[:, echo:echo + 1, :, :, :1])
+        phi = (2.0 * jnp.pi * B[:, 2:3, :, :, :1] * physics.FM_SC
+               * te[0, echo, 0])
+        phi = phi + jnp.arctan2(B[:, :1, :, :, 1:], B[:, :1, :, :, :1])
+        sel_w = sel_w + (1.0 / 6.0) * jnp.cos(obs - phi) + (1.0 / 6.0)
+    return sel_w ** cfg["sel_weight_pwr"]
+
+
+def _predict_pm(cfg, model, params, params_r2, A, te_vec, r2_model=None,
+                train=True):
+    """G_A2B (+ G_A2R2) forward → PM row (nb, 1, H, W, [FM, R2*])."""
+    g = cfg["G_model"]
+    out = model.apply({"params": params}, A, te_vec, train=train)
+    if g in ("PM-Gen", "VET-Net", "multi-decod"):
+        return out  # already (nb, 1, H, W, [FM, R2*])
+    if g == "U-Net":
+        fm = out[..., :1]
+        r2 = (out[..., 1:] + 1.0) * 0.5
+        return jnp.concatenate([fm, r2], axis=-1)
+    if g == "2U-Net":
+        fm = out  # (nb, 1, H, W, 1) tanh
+        a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+        r2 = r2_model.apply({"params": params_r2}, a_abs, te_vec,
+                            train=False)
+        return jnp.concatenate([fm, r2], axis=-1)
+    raise NameError(g)
+
+
+def make_train_step(cfg, model, r2_model=None):
+    g_model = cfg["G_model"]
+    out_vars = cfg["out_vars"]
+
+    def loss_fn(params, params_r2, B, te, key):
         # Synthesize acquisitions from GT maps at the sampled TEs + noise.
         A = synthesize_fused(B[:, :3], te, cfg["field"])
         A = A + cfg["noise_std"] * jax.random.normal(key, A.shape)
+        te_vec = te[..., 0]
 
-        out = model.apply({"params": params}, A, te[..., 0])
-        if cfg["G_model"] in ("PM-Gen", "VET-Net"):
-            pm = out  # (nb, 1, H, W, [FM, R2*]) MEBCRN row
-        else:
-            raise NotImplementedError(
-                "U-Net/MDWF heads for TEaug wired in eval parity round")
         B_pm = B[:, 2:3]
-        mae = jnp.mean(jnp.abs(B_pm - pm))
+        B_wf_abs = jnp.sqrt(jnp.sum(jnp.square(B[:, :2]), axis=-1,
+                                    keepdims=True))
 
-        # B→A→B̂ map consistency through the physics fit.
-        wf_hat = physics.fit_rho(A, pm, te, field=cfg["field"])
-        wf_mae = jnp.mean(jnp.abs(B[:, :2] - wf_hat))
+        if out_vars == "WF":
+            # Direct magnitude regression (train-IDEAL-TEaug.py:237-253).
+            wf_abs = model.apply({"params": params}, A, te_vec)
+            wf_abs = jnp.where(B[:, :2, :, :, :1] != 0.0, wf_abs, 0.0)
+            sup = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
+            return sup, {"PM_loss": sup, "WF_loss": sup,
+                         "TV_R2": jnp.asarray(0.0),
+                         "TV_FM": jnp.asarray(0.0), "G_loss": sup}
 
-        fm = pm[..., :1]
-        r2 = pm[..., 1:]
+        if g_model == "MDWF-Net":
+            # Joint [WF mags, R2*, FM] regression (the reference's WF-PM
+            # branch, train-IDEAL-TEaug.py:314-340, implemented). MDWF
+            # consumes the legacy channel-interleaved layout
+            # (reference feeds it via data.A_from_MEBCRN).
+            from ..data.layouts import acqs_from_mebcrn
+            out = model.apply({"params": params}, acqs_from_mebcrn(A),
+                              te_vec)
+            out = out[:, None] if out.ndim == 4 else out
+            wf_abs = jnp.transpose(out[..., :2], (0, 4, 2, 3, 1))
+            pm = jnp.stack([out[..., 3], out[..., 2]], axis=-1)  # [FM, R2]
+            wf_mae = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
+            pm_mae = jnp.mean(jnp.abs(B_pm - pm))
+            sup = wf_mae + pm_mae
+            r2 = pm[..., 1:]
+            fm = pm[..., :1]
+        else:
+            pm = _predict_pm(cfg, model, params, params_r2, A, te_vec,
+                             r2_model)
+            if cfg["sel_weight"]:
+                sel_w = _selective_weight(cfg, B, A, te)
+                sel_w = jnp.concatenate([sel_w, sel_w], axis=-1)
+            else:
+                sel_w = 1.0
+            sup = jnp.mean(jnp.abs(sel_w * B_pm - sel_w * pm))
+            fm = pm[..., :1]
+            r2 = pm[..., 1:]
+            # B→A→B̂ map consistency through the physics fit (diagnostic).
+            wf_hat = physics.fit_rho(A, pm, te, field=cfg["field"])
+            wf_abs = jnp.sqrt(jnp.sum(jnp.square(wf_hat), axis=-1,
+                                      keepdims=True))
+            wf_mae = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
+
         r2_tv = jnp.sum(total_variation_2d(r2[:, 0])) * cfg["R2_TV_weight"]
         fm_tv = jnp.sum(total_variation_2d(fm[:, 0])) * cfg["FM_TV_weight"]
-        loss = mae + r2_tv + fm_tv
-        return loss, {"PM_loss": mae, "WF_loss": wf_mae, "TV_R2": r2_tv,
+        loss = sup + r2_tv + fm_tv
+        return loss, {"PM_loss": sup, "WF_loss": wf_mae, "TV_R2": r2_tv,
                       "TV_FM": fm_tv, "G_loss": loss}
 
     total_steps = cfg.get("total_steps", cfg["epochs"])
@@ -107,17 +221,74 @@ def make_train_step(cfg, model):
     def train_step(state: TEAugState, batch, key):
         B, te = batch
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, B, te, key)
+            loss_fn, has_aux=True)(state.params, state.params_r2, B, te,
+                                   key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TEAugState(params, opt_state, state.step + 1), metrics
+        return state._replace(params=params, opt_state=opt_state,
+                              step=state.step + 1), metrics
 
     return train_step, tx
 
 
-def init_state(cfg, model, tx, key, h=192, w=192):
+def make_r2_train_step(cfg, model, r2_model, tx):
+    """2U-Net second phase: train G_A2R2 with the FM net frozen (reference
+    train_G_R2, train-IDEAL-TEaug.py:364-420)."""
+
+    def loss_fn(params_r2, params, B, te, key):
+        A = synthesize_fused(B[:, :3], te, cfg["field"])
+        A = A + cfg["noise_std"] * jax.random.normal(key, A.shape)
+        te_vec = te[..., 0]
+        a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+
+        fm = jax.lax.stop_gradient(
+            model.apply({"params": params}, A, te_vec, train=False))
+        r2 = r2_model.apply({"params": params_r2}, a_abs, te_vec)
+        pm = jnp.concatenate([fm, r2], axis=-1)
+        pm = jnp.where(B[:, 2:3] != 0.0, pm, 0.0)
+
+        r2_loss = jnp.mean(jnp.abs(B[:, 2:3, :, :, 1:] - pm[..., 1:]))
+        r2_tv = (jnp.sum(total_variation_2d(pm[:, 0, :, :, 1:]))
+                 * cfg["R2_TV_weight"])
+        # diagnostic WF loss through the fit (reference :398-408)
+        wf_hat = physics.fit_rho(A, pm, te, field=cfg["field"])
+        wf_abs = jnp.sqrt(jnp.sum(jnp.square(wf_hat), axis=-1,
+                                  keepdims=True))
+        b_wf_abs = jnp.sqrt(jnp.sum(jnp.square(B[:, :2]), axis=-1,
+                                    keepdims=True))
+        wf_mae = jnp.mean(jnp.abs(b_wf_abs - wf_abs))
+        total = r2_loss + r2_tv
+        return total, {"R2_loss": r2_loss, "TV_R2_aux": r2_tv,
+                       "WF_loss_aux": wf_mae}
+
+    @jax.jit
+    def train_step(state: TEAugState, batch, key):
+        B, te = batch
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_r2, state.params, B, te,
+                                   key)
+        updates, opt_r2 = tx.update(grads, state.opt_r2, state.params_r2)
+        params_r2 = optax.apply_updates(state.params_r2, updates)
+        return state._replace(params_r2=params_r2, opt_r2=opt_r2), metrics
+
+    return train_step
+
+
+def init_state(cfg, model, tx, key, h=192, w=192, r2_model=None):
     ne = cfg["n_echoes"]
     te = physics.te_train(ne, bs=1)
     acqs = jnp.zeros((1, ne, h, w, 2), jnp.float32)
-    params = model.init(key, acqs, te[..., 0])["params"]
-    return TEAugState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    if cfg["G_model"] == "MDWF-Net":
+        from ..data.layouts import acqs_from_mebcrn
+        params = model.init(key, acqs_from_mebcrn(acqs),
+                            te[..., 0])["params"]
+    else:
+        params = model.init(key, acqs, te[..., 0])["params"]
+    params_r2 = None
+    opt_r2 = None
+    if r2_model is not None:
+        a_abs = jnp.zeros((1, ne, h, w, 1), jnp.float32)
+        params_r2 = r2_model.init(key, a_abs, te[..., 0])["params"]
+        opt_r2 = tx.init(params_r2)
+    return TEAugState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                      params_r2, opt_r2)

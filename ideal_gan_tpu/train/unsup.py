@@ -6,8 +6,11 @@ acquisitions (optionally an R2* posterior from magnitudes via a second
 net); the loss is the self-consistency of the IDEAL cycle ‖A − Â‖² with
 Â = W⁺MM⁺W⁻A — no ground-truth maps. With uncertainty quantification (UQ)
 the cycle loss becomes the heteroscedastic `var_mse` with per-echo
-variances propagated through `acq_uncertainty`, and a 1×1 non-negative
-calibration conv can rescale σ (train-IDEAL-unsup.py:176-178).
+variances propagated through `acq_uncertainty`. A per-echo non-negative
+calibration scale rescales σ² (the working rebuild of the reference's
+`G_calib` NonNeg 1×1 conv, train-IDEAL-unsup.py:176-178): with
+UQ_calib=True, `make_calib_train_step` trains it with SGD on a dedicated
+calibration split while both nets stay frozen (reference :94-99,315-317).
 
 The hot op is the fused cycle kernel (rho + recon in one HBM pass);
 training runs data-parallel over the mesh.
@@ -44,8 +47,8 @@ class UnsupState(NamedTuple):
     opt_fm: Any
     params_r2: Any
     opt_r2: Any
-    calib: Any          # 1×1 non-neg conv weight, shape (1,)
-    opt_calib: Any
+    calib: Any          # per-echo non-neg σ²-scale, shape (n_echoes,)
+    opt_calib: Any      # SGD state (optax.sgd)
     fm_offset: Any      # learnable global FM offset (normalized units)
     step: jnp.ndarray
 
@@ -66,6 +69,16 @@ def _as_mean_sigma(out):
             return out.loc, out.scale
         return out.nu, out.sigma
     return out, None
+
+
+def _calib_scale(calib, ne):
+    """Per-echo non-negative σ²-scale, broadcast over (nb, ne, H, W, ch).
+    `calib` is the working rebuild of the reference's never-trained
+    `G_calib` 1×1 NonNeg conv (train-IDEAL-unsup.py:176-178): one
+    non-negative weight per echo (the reference's Conv2D(1,1) collapses to
+    a single scalar; per-echo is strictly more expressive), projected to
+    ≥0 after every SGD step like keras NonNeg."""
+    return calib[:ne][None, :, None, None, None]
 
 
 def make_train_step(cfg, g_fm, g_r2):
@@ -114,7 +127,7 @@ def make_train_step(cfg, g_fm, g_r2):
             a_var = physics.acq_uncertainty(
                 jax.lax.stop_gradient(wf), phi, r2s, te, field=cfg["field"],
                 rem_r2=not pm_mode)
-            a_var = a_var * jnp.abs(calib[0])  # σ-calibration (non-neg 1×1)
+            a_var = a_var * _calib_scale(calib, a_var.shape[1])
             cycle_loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
         else:
             cycle_loss = jnp.mean(jnp.square(A - a_hat))
@@ -188,14 +201,118 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
     return train_step
 
 
+def make_calib_tx(cfg):
+    """Plain SGD for the calibration weights (reference
+    train-IDEAL-unsup.py:189: tf.keras.optimizers.SGD(args.lr))."""
+    return optax.sgd(cfg["lr"])
+
+
+def make_calib_train_step(cfg, g_fm, g_r2):
+    """σ-calibration stage (reference train-IDEAL-unsup.py:272,315-317,
+    run with UQ_calib=True on the calibration split, :94-99): both nets
+    frozen and deterministic, the heteroscedastic cycle loss is minimized
+    over the per-echo calibration scale only; the weight is projected to
+    ≥0 after each SGD step (keras NonNeg constraint semantics)."""
+    pm_mode = cfg["out_vars"] == "PM"
+    tx_calib = make_calib_tx(cfg)
+
+    def loss_fn(calib, params_fm, fm_offset, params_r2, A, te, key):
+        k1, k2 = jax.random.split(key)
+        out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1},
+                            train=False)
+        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
+        if cfg.get("learn_fm_offset"):
+            fm_mean = fm_mean + fm_offset
+        if pm_mode:
+            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+            out_r2 = g_r2.apply({"params": params_r2}, a_abs,
+                                rngs={"bayes": k2}, train=False)
+            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
+        else:
+            r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
+        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                     uniform_te=cfg.get("uniform_te", False))
+        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+        phi = physics.Posterior(
+            fm_mean[:, 0, ..., 0],
+            jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
+            else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
+        r2s = physics.Posterior(
+            r2_mean[:, 0, ..., 0],
+            jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
+            else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
+        a_var = physics.acq_uncertainty(wf, phi, r2s, te, field=cfg["field"],
+                                        rem_r2=not pm_mode)
+        a_var = a_var * _calib_scale(calib, a_var.shape[1])
+        loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
+        return loss, {"calib_loss": loss}
+
+    @jax.jit
+    def calib_step(state: UnsupState, batch, key):
+        A, te = batch
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.calib, state.params_fm,
+                                   state.fm_offset, state.params_r2,
+                                   A, te, key)
+        updates, opt_calib = tx_calib.update(grads, state.opt_calib,
+                                             state.calib)
+        calib = jnp.maximum(optax.apply_updates(state.calib, updates), 0.0)
+        return state._replace(calib=calib, opt_calib=opt_calib,
+                              step=state.step + 1), metrics
+
+    return calib_step
+
+
+def eval_calibrated_nll(cfg, g_fm, g_r2):
+    """Held-out heteroscedastic NLL at a given calibration — the
+    calibration-quality metric used by tests and the CLI report."""
+    pm_mode = cfg["out_vars"] == "PM"
+
+    @jax.jit
+    def nll(state: UnsupState, A, te, key):
+        k1, k2 = jax.random.split(key)
+        out_fm = g_fm.apply({"params": state.params_fm}, A,
+                            rngs={"bayes": k1}, train=False)
+        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
+        if cfg.get("learn_fm_offset"):
+            fm_mean = fm_mean + state.fm_offset
+        if pm_mode:
+            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+            out_r2 = g_r2.apply({"params": state.params_r2}, a_abs,
+                                rngs={"bayes": k2}, train=False)
+            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
+        else:
+            r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
+        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                     uniform_te=cfg.get("uniform_te", False))
+        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+        phi = physics.Posterior(
+            fm_mean[:, 0, ..., 0],
+            jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
+            else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
+        r2s = physics.Posterior(
+            r2_mean[:, 0, ..., 0],
+            jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
+            else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
+        a_var = physics.acq_uncertainty(wf, phi, r2s, te, field=cfg["field"],
+                                        rem_r2=not pm_mode)
+        a_var = a_var * _calib_scale(state.calib, a_var.shape[1])
+        return var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
+
+    return nll
+
+
 def init_state(cfg, g_fm, g_r2, tx, key, sample_A):
     k1, k2 = jax.random.split(key)
     A = jnp.asarray(sample_A)
     a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
     params_fm = g_fm.init({"params": k1, "bayes": k1}, A)["params"]
     params_r2 = g_r2.init({"params": k2, "bayes": k2}, a_abs)["params"]
-    calib = jnp.ones((1,), jnp.float32)
+    calib = jnp.ones((cfg["n_echoes"],), jnp.float32)
     return UnsupState(params_fm, tx.init(params_fm),
                       params_r2, tx.init(params_r2),
-                      calib, None, jnp.zeros((), jnp.float32),
+                      calib, make_calib_tx(cfg).init(calib),
+                      jnp.zeros((), jnp.float32),
                       jnp.zeros((), jnp.int32))

@@ -5,6 +5,10 @@ import os
 import numpy as np
 import pytest
 
+# Full end-to-end CLI chains compile many graphs on the CPU mesh
+# (minutes each); keep them out of the fast loop with -m 'not slow'.
+pytestmark = pytest.mark.slow
+
 
 def run_cli(mod, args):
     return mod.main(args)
@@ -97,6 +101,26 @@ class TestCLIs:
             "--data_size", "64", "--crops_file", crops_path,
             "--output_base", str(tmp_path)])
         assert (tmp_path / "t-phantom" / "ROI_phantom.xlsx").exists()
+
+    @pytest.mark.parametrize("model_sel", ["AI-DEAL", "VET-Net", "Mag",
+                                           "U-Net"])
+    def test_roi_realphantom_model_zoo(self, tmp_path, model_sel):
+        """Model-zoo dispatch on the phantom (reference
+        ROI-realPhantom.py:100-250): trained checkpoints (here: fresh
+        inits, no checkpoint dir) must be evaluable end-to-end to the
+        per-vial xlsx."""
+        from ideal_gan_tpu.cli import roi_realphantom
+        from ideal_gan_tpu.eval.export import save_crops
+        crops_path = str(tmp_path / "crops.npy")
+        save_crops(crops_path, [0, 1], [(4, 4), (10, 10)], [])
+        run_cli(roi_realphantom, [
+            "--dataset", f"t-ph-{model_sel}", "--synthetic", "2",
+            "--model_sel", model_sel, "--data_size", "32",
+            "--crops_file", crops_path,
+            "--experiment_dir", str(tmp_path / "no-such-exp"),
+            "--output_base", str(tmp_path)])
+        assert (tmp_path / f"t-ph-{model_sel}"
+                / "ROI_phantom.xlsx").exists()
 
     def test_dl_gen_chain(self, tmp_path):
         """gen_ldm_dataset shards feed train_sup --DL_gen."""

@@ -124,6 +124,40 @@ class TestHdf5:
                            remove_zeros=False)
         assert len(d.maps) == 3
 
+    def test_iterate_hdf5_streams_and_wraps(self, h5file, tmp_path):
+        """Streaming generator (reference gen_hdf5, data.py:156-176):
+        forward ranges stream [lo, hi); wrap-around ranges (hi < lo)
+        stream [0, hi) then [lo, n); zero OutMaps slices are skipped."""
+        path, acqs, maps, tes = h5file  # slice 3 is all-zero
+        items = list(dlib.iterate_hdf5([path], ech_idx=12,
+                                       lims_list=[(0, 5)]))
+        assert len(items) == 4  # 0,1,2,4 (3 filtered)
+        im, out = items[0]
+        assert im.shape == (16, 16, 12)
+        np.testing.assert_allclose(out, maps[0])
+        np.testing.assert_allclose(items[3][1], maps[4])
+
+        # keep zeros
+        items = list(dlib.iterate_hdf5([path], ech_idx=12,
+                                       lims_list=[(0, 5)],
+                                       remove_zeros=False))
+        assert len(items) == 5
+
+        # wrap-around: (10, 2) → indices 0,1 then 10,11
+        items = list(dlib.iterate_hdf5([path], ech_idx=12,
+                                       lims_list=[(10, 2)],
+                                       remove_zeros=False))
+        assert len(items) == 4
+        np.testing.assert_allclose(items[0][1], maps[0])
+        np.testing.assert_allclose(items[2][1], maps[10])
+
+        # multi-file streaming with echo truncation
+        items = list(dlib.iterate_hdf5([path, path], ech_idx=8,
+                                       lims_list=[(0, 2), (2, 4)],
+                                       remove_zeros=False))
+        assert len(items) == 4
+        assert items[0][0].shape == (16, 16, 8)
+
     def test_group_tes(self):
         ne = 6
         tes = np.zeros((8, ne, 1), np.float32)

@@ -36,6 +36,42 @@ def mag_phase_batch(nb=2, h=32, w=32, ne=6, seed=0):
     return A, B, np.asarray(te)
 
 
+class TestGANConfig:
+    def test_default_encoded_size_is_valid(self):
+        """The reference's default encoded_size=256 crashes its own
+        tf.split(z, 3) (train-IDEAL-GAN.py:31,234); per SURVEY §7.9 the
+        default is fixed and validated — DEFAULTS must construct."""
+        assert gan_tr.DEFAULTS["encoded_size"] % 3 == 0
+        models = gan_tr.build_models(dict(gan_tr.DEFAULTS))
+        assert len(models) == 6
+
+    def test_indivisible_encoded_size_rejected_with_clear_error(self):
+        import pytest
+        with pytest.raises(ValueError, match="divisible by 3"):
+            gan_tr.build_models(tiny_cfg(encoded_size=256))
+
+    def test_per_level_filter_list(self):
+        """--n_G_filt_list per-level widths (train-IDEAL-GAN.py:67-68,
+        138-145) plumb into encoder/decoders and train."""
+        cfg = tiny_cfg(n_G_filt_list="12,16,24")
+        models = gan_tr.build_models(cfg)
+        assert models[0].filters == (12, 16, 24)        # encoder
+        assert models[2].filters == (4, 5, 8)           # dec_mag = //3
+        assert models[1].filters == (3, 4, 6)           # dec_ff = //4
+        g_step, d_step, txs = gan_tr.make_train_steps(cfg, models)
+        A, B, te = mag_phase_batch()
+        key = jax.random.PRNGKey(0)
+        state = gan_tr.init_state(cfg, models, txs, key, A)
+        state, m, _ = g_step(state, (jnp.asarray(A), jnp.asarray(B),
+                                     jnp.asarray(te)), key)
+        assert np.isfinite(float(m["G_loss"]))
+
+    def test_bad_filter_list_length_rejected(self):
+        import pytest
+        with pytest.raises(ValueError, match="n_downsamplings"):
+            gan_tr.build_models(tiny_cfg(n_G_filt_list="12,16"))
+
+
 class TestGANTrainer:
     def test_vae_mode_losses_finite_and_decreasing(self):
         cfg = tiny_cfg()

@@ -58,6 +58,53 @@ class TestUnsup:
         assert all(np.isfinite(l) for l in losses)
 
 
+class TestCalibration:
+    def test_calib_improves_heldout_nll(self):
+        """σ-calibration stage (reference train-IDEAL-unsup.py:315-317):
+        on data whose true noise exceeds the propagated σ, training the
+        per-echo non-neg calibration scale must move it off 1.0 and
+        improve the held-out heteroscedastic NLL vs the uncalibrated
+        state."""
+        cfg = dict(unsup.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=8, epochs=2, UQ=True,
+                   UQ_calib=True, lr=0.05)
+        g_fm, g_r2 = unsup.build_models(cfg)
+        maps, te, acqs = synth_batch()
+        rng = np.random.default_rng(3)
+        noisy = acqs + rng.normal(scale=0.05, size=acqs.shape).astype(
+            np.float32)
+        key = jax.random.PRNGKey(0)
+        step_fn, tx = unsup.make_train_step(cfg, g_fm, g_r2)
+        state = unsup.init_state(cfg, g_fm, g_r2, tx, key, noisy[:1])
+
+        calib_step = unsup.make_calib_train_step(cfg, g_fm, g_r2)
+        nll_fn = unsup.eval_calibrated_nll(cfg, g_fm, g_r2)
+        hold = (jnp.asarray(noisy[:4]), jnp.asarray(te[:4]))
+        fit = (jnp.asarray(noisy[4:]), jnp.asarray(te[4:]))
+        nll0 = float(nll_fn(state, *hold, key))
+        for i in range(50):
+            state, m = calib_step(state, fit, jax.random.fold_in(key, i))
+            assert np.isfinite(float(m["calib_loss"]))
+        nll1 = float(nll_fn(state, *hold, key))
+        calib = np.asarray(state.calib)
+        assert calib.shape == (cfg["n_echoes"],)
+        assert np.all(calib >= 0.0)          # NonNeg projection holds
+        assert np.any(np.abs(calib - 1.0) > 1e-3)  # actually trained
+        assert nll1 < nll0                   # better-calibrated σ
+
+    def test_calib_frozen_during_main_training(self):
+        cfg = dict(unsup.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=8, epochs=2, UQ=True)
+        g_fm, g_r2 = unsup.build_models(cfg)
+        maps, te, acqs = synth_batch()
+        key = jax.random.PRNGKey(0)
+        step_fn, tx = unsup.make_train_step(cfg, g_fm, g_r2)
+        state = unsup.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
+        state, _ = step_fn(state, (jnp.asarray(acqs), jnp.asarray(te)), key)
+        np.testing.assert_array_equal(np.asarray(state.calib),
+                                      np.ones(cfg["n_echoes"], np.float32))
+
+
 class TestTEAug:
     def test_vetnet_loss_decreases(self):
         cfg = dict(teaug.DEFAULTS)
@@ -77,6 +124,59 @@ class TestTEAug:
             losses.append(float(metrics["G_loss"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+    def _run_model(self, cfg_over, n_steps=6, with_r2=False):
+        cfg = dict(teaug.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=8, epochs=2, **cfg_over)
+        model = teaug.build_model(cfg)
+        r2_model = teaug.build_r2_model(cfg) if with_r2 else None
+        maps, _, _ = synth_batch()
+        step_fn, tx = teaug.make_train_step(cfg, model, r2_model)
+        key = jax.random.PRNGKey(0)
+        state = teaug.init_state(cfg, model, tx, key, h=32, w=32,
+                                 r2_model=r2_model)
+        r2_step = (teaug.make_r2_train_step(cfg, model, r2_model, tx)
+                   if with_r2 else None)
+        rng = np.random.default_rng(0)
+        mesh = data_mesh()
+        losses, r2_losses = [], []
+        for i in range(n_steps):
+            te = teaug.sample_te(rng, cfg, 8)
+            batch = shard_batch((jnp.asarray(maps), jnp.asarray(te)), mesh)
+            state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+            losses.append(float(metrics["G_loss"]))
+            if with_r2:
+                state, r2m = r2_step(state, batch,
+                                     jax.random.fold_in(key, 100 + i))
+                r2_losses.append(float(r2m["R2_loss"]))
+        return losses, r2_losses
+
+    def test_unet_pm_loss_decreases(self):
+        losses, _ = self._run_model({"G_model": "U-Net"})
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+    def test_unet_wf_magnitude_mode(self):
+        losses, _ = self._run_model({"G_model": "U-Net", "out_vars": "WF"})
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+    def test_mdwf_wfpm_loss_decreases(self):
+        losses, _ = self._run_model({"G_model": "MDWF-Net"})
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+    def test_2unet_trains_both_generators(self):
+        losses, r2_losses = self._run_model({"G_model": "2U-Net"},
+                                            with_r2=True)
+        assert all(np.isfinite(l) for l in losses + r2_losses)
+        assert losses[-1] < losses[0]
+        assert r2_losses[-1] < r2_losses[0]
+
+    def test_sel_weight_phase_coherence(self):
+        losses, _ = self._run_model({"sel_weight": True,
+                                     "sel_weight_pwr": 2.0}, n_steps=4)
+        assert all(np.isfinite(l) for l in losses)
 
     def test_te_sampling_presets(self):
         rng = np.random.default_rng(0)
