@@ -96,12 +96,14 @@ def main():
     bench("sup (PM)", step, state,
           (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)))
 
-    ucfg = dict(unsup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-                epochs=1)
-    g_fm, g_r2 = unsup.build_models(ucfg)
-    step, tx = unsup.make_train_step(ucfg, g_fm, g_r2)
-    state = unsup.init_state(ucfg, g_fm, g_r2, tx, key, acqs[:1])
-    bench("unsup (FM)", step, state, (jnp.asarray(acqs), jnp.asarray(te)))
+    for bf16 in (False, True):
+        ucfg = dict(unsup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+                    epochs=1, bf16=bf16)
+        g_fm, g_r2 = unsup.build_models(ucfg)
+        step, tx = unsup.make_train_step(ucfg, g_fm, g_r2)
+        state = unsup.init_state(ucfg, g_fm, g_r2, tx, key, acqs[:1])
+        bench("unsup (FM)" + (" bf16" if bf16 else ""), step, state,
+              (jnp.asarray(acqs), jnp.asarray(te)))
 
     tcfg = dict(teaug.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
                 epochs=1)

@@ -26,7 +26,8 @@ from .common import load_cohorts, load_settings, setup_experiment
 
 DEFAULTS = dict(
     dataset="Unsup-v0", experiment_dir="output/Unsup-v0",
-    model_sel="AI-DEAL",  # U-Net | MDWF | VET-Net | AI-DEAL | Mag | GraphCuts
+    # U-Net | MDWF | 2D-Net | VET-Net | AI-DEAL | Mag | GraphCuts
+    model_sel="AI-DEAL",
     map="PDFF",  # PDFF | R2s | Water | PDFF-var
     n_echoes=6, field=1.5, batch_size=1, crops_file="",
     te1=0.0013, dte=0.0021, out_xlsx="ROI_analysis.xlsx", interactive=False,
@@ -148,6 +149,36 @@ def infer_maps(cfg, acqs, te):
             pm = jnp.concatenate([jnp.zeros_like(r2), r2], axis=-1)
             var = jnp.concatenate([res.uncertainty] * 4, axis=1)
             return jnp.concatenate([wf, pm], axis=1), var
+
+        return _per_slice(run, acqs, te)
+
+    if sel == "2D-Net":
+        # Legacy-layout PM net: supervised PM-mode U-Net → (R2*, FM) →
+        # get_rho (reference ROI-realPhantom.py:126-139 / ROI-analysis
+        # 2D-Net branch).
+        from ..data import layouts
+        from ..train import sup
+        scfg = dict(sup.DEFAULTS)
+        scfg.update(G_model="U-Net", out_vars="PM")
+        if exp_cfg:
+            scfg.update({k: v for k, v in exp_cfg.items() if k in scfg})
+        model = sup.build_model(scfg)
+        step_fn, tx = sup.make_train_step(scfg, model)
+        state = _restore(cfg, sup.init_state(scfg, model, tx, key, acqs[:1]))
+
+        @jax.jit
+        def run(a, te_b):
+            a_leg = layouts.acqs_from_mebcrn(a)
+            out = model.apply({"params": state.params},
+                              a_leg).astype(jnp.float32)
+            r2 = out[..., :1]
+            fm = (out[..., 1:] - 0.5) * 2.0  # sigmoid head → [-1, 1]
+            pm_meb = layouts.maps_to_mebcrn(
+                jnp.concatenate([r2, fm], axis=-1), mode="PM")
+            rho = physics.fit_rho(a, pm_meb, te_b, field=cfg["field"])
+            maps = jnp.concatenate([rho, pm_meb], axis=1)
+            return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
+                                   + (1,))
 
         return _per_slice(run, acqs, te)
 

@@ -53,7 +53,7 @@ DEFAULTS = dict(
     dataset="TEaug-300", n_echoes=6, field=1.5, G_model="PM-Gen",
     out_vars="PM", n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, noise_std=0.1,
-    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4,
+    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4, bf16=False,
     R2_TV_weight=0.0, FM_TV_weight=0.0, sel_weight=False, sel_weight_pwr=1.0,
     te_input=True,
     R2_SelfAttention=False, FM_SelfAttention=True,
@@ -69,32 +69,38 @@ class TEAugState(NamedTuple):
 
 
 def build_model(cfg):
-    """Primary generator G_A2B (reference train-IDEAL-TEaug.py:152-195)."""
+    """Primary generator G_A2B (reference train-IDEAL-TEaug.py:152-195).
+    With bf16=True the CNN computes in bfloat16 (params stay f32; the
+    physics ops always run f32/c64)."""
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     if cfg["G_model"] in ("PM-Gen", "VET-Net", "multi-decod"):
         return VETNet(me_layer=True, te_input=cfg.get("te_input", True),
                       filters=cfg["n_G_filters"],
                       r2_self_attention=cfg["R2_SelfAttention"],
-                      fm_self_attention=cfg["FM_SelfAttention"])
+                      fm_self_attention=cfg["FM_SelfAttention"],
+                      dtype=dtype)
     if cfg["G_model"] in ("U-Net", "2U-Net"):
         n_out = 1 if cfg["G_model"] == "2U-Net" else 2
         return UNet(n_out=n_out, me_layer=True,
                     te_input=cfg.get("te_input", True),
                     filters=cfg["n_G_filters"],
-                    self_attention=cfg["FM_SelfAttention"])
+                    self_attention=cfg["FM_SelfAttention"], dtype=dtype)
     if cfg["G_model"] == "MDWF-Net":
         return MDWFNet(filters=cfg["n_G_filters"],
                        te_input=cfg.get("te_input", True),
                        r2_self_attention=cfg["R2_SelfAttention"],
-                       fm_self_attention=cfg["FM_SelfAttention"])
+                       fm_self_attention=cfg["FM_SelfAttention"],
+                       dtype=dtype)
     raise NameError(f"Unrecognized generator {cfg['G_model']!r}")
 
 
 def build_r2_model(cfg):
     """Second UNet G_A2R2 for the 2U-Net config: sigmoid R2* head on echo
     magnitudes (train-IDEAL-TEaug.py:176-184)."""
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     return UNet(n_out=1, me_layer=True, te_input=cfg.get("te_input", True),
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
-                self_attention=cfg["R2_SelfAttention"])
+                self_attention=cfg["R2_SelfAttention"], dtype=dtype)
 
 
 def sample_te(rng: np.random.Generator, cfg, bs: int) -> np.ndarray:
@@ -131,9 +137,11 @@ def _selective_weight(cfg, B, A, te):
 
 def _predict_pm(cfg, model, params, params_r2, A, te_vec, r2_model=None,
                 train=True):
-    """G_A2B (+ G_A2R2) forward → PM row (nb, 1, H, W, [FM, R2*])."""
+    """G_A2B (+ G_A2R2) forward → PM row (nb, 1, H, W, [FM, R2*]),
+    upcast to f32 (bf16 CNNs feed f32 physics)."""
     g = cfg["G_model"]
-    out = model.apply({"params": params}, A, te_vec, train=train)
+    out = model.apply({"params": params}, A, te_vec,
+                      train=train).astype(jnp.float32)
     if g in ("PM-Gen", "VET-Net", "multi-decod"):
         return out  # already (nb, 1, H, W, [FM, R2*])
     if g == "U-Net":
@@ -144,7 +152,7 @@ def _predict_pm(cfg, model, params, params_r2, A, te_vec, r2_model=None,
         fm = out  # (nb, 1, H, W, 1) tanh
         a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
         r2 = r2_model.apply({"params": params_r2}, a_abs, te_vec,
-                            train=False)
+                            train=False).astype(jnp.float32)
         return jnp.concatenate([fm, r2], axis=-1)
     raise NameError(g)
 
@@ -179,7 +187,7 @@ def make_train_step(cfg, model, r2_model=None):
             # (reference feeds it via data.A_from_MEBCRN).
             from ..data.layouts import acqs_from_mebcrn
             out = model.apply({"params": params}, acqs_from_mebcrn(A),
-                              te_vec)
+                              te_vec).astype(jnp.float32)
             out = out[:, None] if out.ndim == 4 else out
             wf_abs = jnp.transpose(out[..., :2], (0, 4, 2, 3, 1))
             pm = jnp.stack([out[..., 3], out[..., 2]], axis=-1)  # [FM, R2]
@@ -242,8 +250,10 @@ def make_r2_train_step(cfg, model, r2_model, tx):
         a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
 
         fm = jax.lax.stop_gradient(
-            model.apply({"params": params}, A, te_vec, train=False))
-        r2 = r2_model.apply({"params": params_r2}, a_abs, te_vec)
+            model.apply({"params": params}, A, te_vec,
+                        train=False)).astype(jnp.float32)
+        r2 = r2_model.apply({"params": params_r2}, a_abs,
+                            te_vec).astype(jnp.float32)
         pm = jnp.concatenate([fm, r2], axis=-1)
         pm = jnp.where(B[:, 2:3] != 0.0, pm, 0.0)
 

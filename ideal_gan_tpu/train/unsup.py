@@ -34,6 +34,7 @@ from .common import linear_decay_schedule, make_adam
 DEFAULTS = dict(
     dataset="Unsup-v0", n_echoes=6, field=1.5, out_vars="FM",  # FM | PM
     UQ=False, UQ_R2s=False, UQ_calib=False, rand_ne=False, remove_ech1=False,
+    bf16=False,
     data_aug_p=0.4, n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, grad_clip=1.0,
     FM_TV_weight=0.0, FM_L1_weight=0.0, R2_TV_weight=0.0, R2_L1_weight=0.0,
@@ -54,21 +55,27 @@ class UnsupState(NamedTuple):
 
 
 def build_models(cfg):
+    """With bf16=True the CNNs compute in bfloat16 (params stay f32; the
+    physics cycle always runs f32/c64 — SURVEY §7 numerics rule)."""
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     g_fm = UNet(n_out=1, bayesian=cfg["UQ"], me_layer=True,
                 filters=cfg["n_G_filters"],
-                self_attention=cfg["D1_SelfAttention"])
+                self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     g_r2 = UNet(n_out=1, bayesian=cfg["UQ_R2s"], me_layer=True,
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
-                self_attention=cfg["D2_SelfAttention"])
+                self_attention=cfg["D2_SelfAttention"], dtype=dtype)
     return g_fm, g_r2
 
 
 def _as_mean_sigma(out):
+    """Posterior → (mean, σ), upcast to f32 (bf16 CNNs feed f32 physics)."""
     if isinstance(out, (Normal, Rician)):
         if isinstance(out, Normal):
-            return out.loc, out.scale
-        return out.nu, out.sigma
-    return out, None
+            mean, sigma = out.loc, out.scale
+        else:
+            mean, sigma = out.nu, out.sigma
+        return mean.astype(jnp.float32), sigma.astype(jnp.float32)
+    return out.astype(jnp.float32), None
 
 
 def _calib_scale(calib, ne):
