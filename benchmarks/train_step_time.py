@@ -47,6 +47,9 @@ def main():
     def bench(name, step_fn, state, batch):
         state, m = step_fn(state, batch, key)  # compile
         jax.block_until_ready(m["G_loss"])
+        # pipelined timing (block once at the end): cross-checked against
+        # per-iteration sync — the difference is a constant ~30 ms of
+        # host-sync tunnel overhead per step, not device time
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, m = step_fn(state, batch, key)
@@ -88,13 +91,14 @@ def main():
                         "slices_per_s": nb / dt, "batch": nb, "size": h,
                         "note": "cycle kernel fwd+bwd only"})
 
-    cfg = dict(sup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-               epochs=1, out_vars="PM")
-    model = sup.build_model(cfg)
-    step, tx = sup.make_train_step(cfg, model)
-    state = sup.init_state(cfg, model, tx, key, acqs[:1])
-    bench("sup (PM)", step, state,
-          (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)))
+    for bf16 in (False, True):
+        cfg = dict(sup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+                   epochs=1, out_vars="PM", bf16=bf16)
+        model = sup.build_model(cfg)
+        step, tx = sup.make_train_step(cfg, model)
+        state = sup.init_state(cfg, model, tx, key, acqs[:1])
+        bench("sup (PM)" + (" bf16" if bf16 else ""), step, state,
+              (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)))
 
     for bf16 in (False, True):
         ucfg = dict(unsup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
@@ -105,12 +109,14 @@ def main():
         bench("unsup (FM)" + (" bf16" if bf16 else ""), step, state,
               (jnp.asarray(acqs), jnp.asarray(te)))
 
-    tcfg = dict(teaug.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-                epochs=1)
-    model = teaug.build_model(tcfg)
-    step, tx = teaug.make_train_step(tcfg, model)
-    state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
-    bench("teaug (VET)", step, state, (jnp.asarray(maps), jnp.asarray(te)))
+    for bf16 in (False, True):
+        tcfg = dict(teaug.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
+                    epochs=1, bf16=bf16)
+        model = teaug.build_model(tcfg)
+        step, tx = teaug.make_train_step(tcfg, model)
+        state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+        bench("teaug (VET)" + (" bf16" if bf16 else ""), step, state,
+              (jnp.asarray(maps), jnp.asarray(te)))
 
     if args.json:
         import datetime

@@ -8,8 +8,8 @@ import numpy as np
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.parallel import (batch_sharding, data_mesh,
-                                    data_mesh_for_batch, replicate,
-                                    shard_batch)
+                                    data_mesh_for_batch, make_sharded_fit,
+                                    replicate, shard_batch)
 from ideal_gan_tpu.train import sup, unsup
 
 from test_physics import make_maps
@@ -118,3 +118,48 @@ class TestDataParallel:
         p2 = jax.tree_util.tree_leaves(jax.device_get(d2.params_d))
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(a, b, atol=2 * 5e-4, rtol=1e-3)
+
+
+class TestShardedServing:
+    """Multi-device serving of the fused planar map-fitting kernel
+    (parallel/serving.py): shard_map over 'data' must reproduce the
+    single-device result (up to per-shard kernel-tiling f32 noise) —
+    the physics is voxel-parallel, so no collectives are involved."""
+
+    def _planar_inputs(self, nb=8, h=64, w=128):
+        maps = make_maps(nb=nb, h=h, w=w, seed=3)
+        te = ph.te_train(6, bs=nb)
+        acqs = np.asarray(ph.synthesize(jnp.asarray(maps), te))
+        return (jnp.asarray(acqs[..., 0]), jnp.asarray(acqs[..., 1]),
+                jnp.asarray(maps[:, 2, ..., 0]),
+                jnp.asarray(maps[:, 2, ..., 1]), jnp.asarray(np.asarray(te)))
+
+    def test_slice_sharding_matches_single_device(self):
+        from ideal_gan_tpu import ops as kops
+        s_re, s_im, phi, r2s, te = self._planar_inputs()
+        ref = kops.fit_rho_planar(s_re, s_im, phi, r2s, te)
+        fit = make_sharded_fit(data_mesh())
+        out = fit(s_re, s_im, phi, r2s, te)
+        # per-shard H is smaller → different kernel tile size → f32
+        # accumulation-order noise at the 1e-7 level
+        for o, r in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_voxel_sharding_matches_single_device(self):
+        # one "volume" of 2 slices over 8 devices: shard H instead
+        from ideal_gan_tpu import ops as kops
+        s_re, s_im, phi, r2s, te = self._planar_inputs(nb=2)
+        ref = kops.fit_rho_planar(s_re, s_im, phi, r2s, te)
+        fit = make_sharded_fit(data_mesh(), voxel_axis=True)
+        out = fit(s_re, s_im, phi, r2s, te)
+        for o, r in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_indivisible_axis_raises(self):
+        import pytest
+        s_re, s_im, phi, r2s, te = self._planar_inputs(nb=6)
+        fit = make_sharded_fit(data_mesh())
+        with pytest.raises(ValueError, match="divide"):
+            fit(s_re, s_im, phi, r2s, te)
