@@ -118,6 +118,54 @@ def main():
         bench("teaug (VET)" + (" bf16" if bf16 else ""), step, state,
               (jnp.asarray(maps), jnp.asarray(te)))
 
+    # --- PI-VAE GAN g+d steps (adversarial path) -----------------------
+    from ideal_gan_tpu.train import gan as gan_tr
+    gcfg = dict(gan_tr.DEFAULTS, batch_size=nb, epochs=1, adv_train=True,
+                A_loss="pix-wise")
+    gmodels = gan_tr.build_models(gcfg)
+    g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
+    ff = rng.uniform(0, 0.6, (nb, h, h)).astype(np.float32)
+    pd = rng.uniform(0.3, 0.9, (nb, h, h)).astype(np.float32)
+    zeros = np.zeros_like(ff)
+    b_mag = np.stack([
+        np.stack([ff, zeros], -1),
+        np.stack([pd, rng.uniform(0, .4, (nb, h, h)).astype(np.float32)],
+                 -1),
+        np.stack([rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32),
+                  rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32)],
+                 -1)], 1).astype(np.float32)
+    A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
+                                                  jnp.asarray(te)))
+    gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key, A_mag[:1])
+    gbatch = (jnp.asarray(A_mag), jnp.asarray(b_mag), jnp.asarray(te))
+    gstate, gm, fake = g_step(gstate, gbatch, key)
+    gstate, dm_ = d_step(gstate, gbatch[0], fake)
+    jax.block_until_ready(dm_["D_loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        gstate, gm, fake = g_step(gstate, gbatch, key)
+        gstate, dm_ = d_step(gstate, gbatch[0], fake)
+    jax.block_until_ready(dm_["D_loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{'gan (g+d)':12s}: {dt * 1e3:8.2f} ms/step "
+          f"({nb / dt:7.1f} slices/s)")
+    results.append({"name": "gan (g+d)", "ms_per_step": dt * 1e3,
+                    "slices_per_s": nb / dt, "batch": nb, "size": h,
+                    "note": "PI-VAE adversarial g+d"})
+
+    # --- LDM denoiser step on PI-VAE latents ---------------------------
+    from ideal_gan_tpu.train import ldm as ldm_tr
+    lat_hw = h // (2 ** gcfg["n_downsamplings"])
+    lcfg = dict(ldm_tr.DEFAULTS, batch_size=nb, epochs=1, in_res=lat_hw)
+    zshape = (nb, lat_hw, lat_hw, gcfg["encoded_size"])
+    lmodel = ldm_tr.build_model(lcfg, channels=zshape[-1])
+    sched = ldm_tr.build_schedule(lcfg)
+    lstep, ltx = ldm_tr.make_train_step(lcfg, lmodel, sched, None)
+    lstate = ldm_tr.init_state(lcfg, lmodel, ltx, key, (1,) + zshape[1:])
+    z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
+    labels = jnp.zeros((nb,), jnp.int32)
+    bench("ldm (eps)", lstep, lstate, (z, labels))
+
     if args.json:
         import datetime
         out = {"device": str(jax.devices()[0]),

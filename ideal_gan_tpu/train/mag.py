@@ -31,7 +31,7 @@ DEFAULTS = dict(
     n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100, epoch_ckpt=10,
     lr=0.0002, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0,
     A_demod_TV_weight=0.0, LS_NZ_weight=0.0, LS_cond_weight=0.0,
-    D1_SelfAttention=True,
+    D1_SelfAttention=True, bf16=False,
 )
 
 
@@ -42,10 +42,13 @@ class MagState(NamedTuple):
 
 
 def build_model(cfg):
+    """With bf16=True the CNN computes in bfloat16 (params stay f32; the
+    Rician head and physics fit are upcast to f32 — SURVEY §7 rule)."""
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     return UNet(n_out=1, bayesian=(cfg["main_loss"] == "Rice"),
                 me_layer=True, te_input=(cfg["training_mode"] == "supervised"),
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
-                self_attention=cfg["D1_SelfAttention"])
+                self_attention=cfg["D1_SelfAttention"], dtype=dtype)
 
 
 def _point_losses(name):
@@ -77,6 +80,11 @@ def make_train_step(cfg, model):
                               rngs={"bayes": k1})
         else:
             out = model.apply({"params": params}, a_mag, rngs={"bayes": k1})
+        if isinstance(out, Rician):
+            out = Rician(nu=out.nu.astype(jnp.float32),
+                         sigma=out.sigma.astype(jnp.float32))
+        else:
+            out = out.astype(jnp.float32)
 
         if rice:
             assert isinstance(out, Rician)

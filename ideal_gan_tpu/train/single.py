@@ -28,7 +28,7 @@ DEFAULTS = dict(
     data_idx=3, n_G_filters=36, epochs=7000, epoch_decay=24000,
     epoch_ckpt=500, lr=0.0008, beta_1=0.9, beta_2=0.999, main_loss="MSE",
     FM_TV_weight=0.0, FM_L1_weight=0.0, BP_GR_weight=0.0,
-    BP_GR_sym_weight=1.0, D1_SelfAttention=False, D2_SelfAttention=True,
+    BP_GR_sym_weight=1.0, D1_SelfAttention=False, D2_SelfAttention=True, bf16=False,
 )
 
 
@@ -40,14 +40,17 @@ class SingleState(NamedTuple):
 
 
 def build_models(cfg):
+    """With bf16=True the two CNNs compute in bfloat16 (params stay f32;
+    outputs are upcast before the f32 physics forward model)."""
     bipolar = cfg["grad_mode"] == "bipolar"
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     n_out = 3
     g_mag = UNet(n_out=n_out, me_layer=True, filters=cfg["n_G_filters"],
                  output_activation="sigmoid",
-                 self_attention=cfg["D1_SelfAttention"])
+                 self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     g_pha = UNet(n_out=n_out + (1 if bipolar else 0), me_layer=True,
                  filters=cfg["n_G_filters"], output_activation="none",
-                 self_attention=cfg["D2_SelfAttention"])
+                 self_attention=cfg["D2_SelfAttention"], dtype=dtype)
     return g_mag, g_pha
 
 
@@ -80,8 +83,10 @@ def make_train_step(cfg, g_mag, g_pha):
         else:
             b_pha_msk = b_mag_msk
 
-        a2b_mag = g_mag.apply({"params": params_mag}, a_mag)
-        a2b_pha = g_pha.apply({"params": params_pha}, a_pha)
+        a2b_mag = g_mag.apply({"params": params_mag},
+                              a_mag).astype(jnp.float32)
+        a2b_pha = g_pha.apply({"params": params_pha},
+                              a_pha).astype(jnp.float32)
         a2b_mag = jnp.where(b_mag_msk != 0.0, a2b_mag, 0.0)
         a2b_pha = jnp.where(b_pha_msk != 0.0, a2b_pha, 0.0)
         if bipolar:

@@ -38,7 +38,7 @@ DEFAULTS = dict(
     n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100, epoch_ckpt=10,
     lr=0.0005, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0, FM_TV_weight=0.0,
     R2_L1_weight=0.0, FM_L1_weight=0.0, D1_SelfAttention=False,
-    D2_SelfAttention=True, D3_SelfAttention=True,
+    D2_SelfAttention=True, D3_SelfAttention=True, bf16=False,
 )
 
 

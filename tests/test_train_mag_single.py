@@ -50,6 +50,12 @@ class TestMagTrainer:
                             "main_loss": "Rice"}, n_steps=3)
         assert all(np.isfinite(l) for l in losses)
 
+    def test_bf16_compute(self):
+        # bf16 CNN + f32 Rician head/physics (params stay f32)
+        losses = self._run({"training_mode": "supervised",
+                            "main_loss": "Rice", "bf16": True}, n_steps=3)
+        assert all(np.isfinite(l) for l in losses)
+
     def test_physics_regularizers(self):
         losses = self._run({"training_mode": "unsupervised",
                             "LS_NZ_weight": 1e-4, "LS_cond_weight": 1e-6,
@@ -104,4 +110,8 @@ class TestSingleTrainer:
 
     def test_unipolar_mode(self):
         losses = self._run({"grad_mode": "unipolar"}, n_steps=3)
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_bf16_compute(self):
+        losses = self._run({"grad_mode": "bipolar", "bf16": True}, n_steps=3)
         assert all(np.isfinite(l) for l in losses)
