@@ -120,10 +120,6 @@ def main():
 
     # --- PI-VAE GAN g+d steps (adversarial path) -----------------------
     from ideal_gan_tpu.train import gan as gan_tr
-    gcfg = dict(gan_tr.DEFAULTS, batch_size=nb, epochs=1, adv_train=True,
-                A_loss="pix-wise")
-    gmodels = gan_tr.build_models(gcfg)
-    g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
     ff = rng.uniform(0, 0.6, (nb, h, h)).astype(np.float32)
     pd = rng.uniform(0.3, 0.9, (nb, h, h)).astype(np.float32)
     zeros = np.zeros_like(ff)
@@ -136,22 +132,28 @@ def main():
                  -1)], 1).astype(np.float32)
     A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
                                                   jnp.asarray(te)))
-    gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key, A_mag[:1])
-    gbatch = (jnp.asarray(A_mag), jnp.asarray(b_mag), jnp.asarray(te))
-    gstate, gm, fake = g_step(gstate, gbatch, key)
-    gstate, dm_ = d_step(gstate, gbatch[0], fake)
-    jax.block_until_ready(dm_["D_loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for bf16 in (False, True):
+        gcfg = dict(gan_tr.DEFAULTS, batch_size=nb, epochs=1,
+                    adv_train=True, A_loss="pix-wise", bf16=bf16)
+        gmodels = gan_tr.build_models(gcfg)
+        g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
+        gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key, A_mag[:1])
+        gbatch = (jnp.asarray(A_mag), jnp.asarray(b_mag), jnp.asarray(te))
         gstate, gm, fake = g_step(gstate, gbatch, key)
         gstate, dm_ = d_step(gstate, gbatch[0], fake)
-    jax.block_until_ready(dm_["D_loss"])
-    dt = (time.perf_counter() - t0) / args.iters
-    print(f"{'gan (g+d)':12s}: {dt * 1e3:8.2f} ms/step "
-          f"({nb / dt:7.1f} slices/s)")
-    results.append({"name": "gan (g+d)", "ms_per_step": dt * 1e3,
-                    "slices_per_s": nb / dt, "batch": nb, "size": h,
-                    "note": "PI-VAE adversarial g+d"})
+        jax.block_until_ready(dm_["D_loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            gstate, gm, fake = g_step(gstate, gbatch, key)
+            gstate, dm_ = d_step(gstate, gbatch[0], fake)
+        jax.block_until_ready(dm_["D_loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        name = "gan (g+d)" + (" bf16" if bf16 else "")
+        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
+              f"({nb / dt:7.1f} slices/s)")
+        results.append({"name": name, "ms_per_step": dt * 1e3,
+                        "slices_per_s": nb / dt, "batch": nb, "size": h,
+                        "note": "PI-VAE adversarial g+d"})
 
     # --- LDM denoiser step on PI-VAE latents ---------------------------
     from ideal_gan_tpu.train import ldm as ldm_tr

@@ -27,6 +27,7 @@ from ..eval.metrics import (covariance_map, echoes_to_vgg_input, init_vgg19,
                             perceptual_cosine_loss)
 from ..losses import adversarial_losses, r1_regularization
 from ..models import Decoder, Encoder, PatchGAN, VectorQuantizer
+from ..prob import Normal
 from .common import linear_decay_schedule, make_adam
 
 DEFAULTS = dict(
@@ -43,7 +44,7 @@ DEFAULTS = dict(
     beta_2=0.9, critic_train_steps=1, R1_reg_weight=0.2, main_loss="MSE",
     A_loss="VGG", A_loss_weight=0.01, B_loss_weight=0.1, FM_loss_weight=1.0,
     ls_reg_weight=1e-7, cov_reg_weight=0.0, Fourier_reg_weight=0.0,
-    NL_SelfAttention=True, pool_size=50,
+    NL_SelfAttention=True, pool_size=50, bf16=False,
 )
 
 
@@ -82,6 +83,10 @@ def parse_filt_list(cfg):
 
 
 def build_models(cfg):
+    """With bf16=True the encoder and the three decoders compute in
+    bfloat16 (params stay f32; the latent posterior/VQ, discriminator and
+    physics synthesis run f32 — spectral-norm power iteration and the KL
+    term are precision-sensitive)."""
     if cfg["encoded_size"] % 3 != 0:
         raise ValueError(
             f"encoded_size must be divisible by 3 (the latent splits into "
@@ -90,15 +95,16 @@ def build_models(cfg):
             f"256 (train-IDEAL-GAN.py:31,234); use e.g. "
             f"{cfg['encoded_size'] + (3 - cfg['encoded_size'] % 3)}.")
     nfe, nfd, nfd2 = parse_filt_list(cfg)
+    dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     enc = Encoder(encoded_dims=cfg["encoded_size"],
                   filters=nfe,
                   num_layers=cfg["n_downsamplings"],
                   num_res_blocks=cfg["n_res_blocks"],
                   sd_out=not cfg["VQ_encoder"], ls_mean_activ="None",
-                  nl_self_attention=cfg["NL_SelfAttention"])
+                  nl_self_attention=cfg["NL_SelfAttention"], dtype=dtype)
     common = dict(num_layers=cfg["n_downsamplings"],
                   num_res_blocks=cfg["n_res_blocks"],
-                  nl_self_attention=cfg["NL_SelfAttention"])
+                  nl_self_attention=cfg["NL_SelfAttention"], dtype=dtype)
     dec_ff = Decoder(encoded_dims=cfg["encoded_size"] // 3, n_out=1,
                      filters=nfd2,
                      output_activation="sigmoid", **common)
@@ -142,9 +148,12 @@ def decode_maps(cfg, models, params_g, z, train=True):
     """latent → mag/phase map rows [(FF,0),(mag...),(pha...)]."""
     _, dec_ff, dec_mag, dec_pha, _, _ = models
     z_ff, z_mag, z_pha = jnp.split(z, 3, axis=-1)
-    b_ff = dec_ff.apply({"params": params_g["dec_ff"]}, z_ff, train)
-    b_mag = dec_mag.apply({"params": params_g["dec_mag"]}, z_mag, train)
-    b_pha = dec_pha.apply({"params": params_g["dec_pha"]}, z_pha, train)
+    b_ff = dec_ff.apply({"params": params_g["dec_ff"]}, z_ff,
+                        train).astype(jnp.float32)
+    b_mag = dec_mag.apply({"params": params_g["dec_mag"]}, z_mag,
+                          train).astype(jnp.float32)
+    b_pha = dec_pha.apply({"params": params_g["dec_pha"]}, z_pha,
+                          train).astype(jnp.float32)
     b_ff = jnp.concatenate([b_ff, jnp.zeros_like(b_ff)], axis=-1)
     return jnp.concatenate([b_ff, b_mag, b_pha], axis=1)  # (nb,3,H,W,2)
 
@@ -158,6 +167,12 @@ def make_train_steps(cfg, models, vgg=None):
 
     def encode(params_g, A, key, train=True):
         out = enc.apply({"params": params_g["enc"]}, A, train)
+        # upcast the bf16 encoder's latent so posterior/KL/VQ stay f32
+        if isinstance(out, Normal):
+            out = Normal(loc=out.loc.astype(jnp.float32),
+                         scale=out.scale.astype(jnp.float32))
+        else:
+            out = out.astype(jnp.float32)
         vq_loss = jnp.asarray(0.0)
         perplexity = jnp.asarray(0.0)
         kl = jnp.asarray(0.0)

@@ -89,6 +89,21 @@ class TestGANTrainer:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
 
+    def test_bf16_compute(self):
+        # bf16 encoder/decoders; posterior, physics and D stay f32
+        cfg = tiny_cfg(bf16=True, adv_train=True)
+        models = gan_tr.build_models(cfg)
+        g_step, d_step, txs = gan_tr.make_train_steps(cfg, models)
+        A, B, te = mag_phase_batch()
+        key = jax.random.PRNGKey(0)
+        state = gan_tr.init_state(cfg, models, txs, key, A)
+        state, m, fake = g_step(state, (jnp.asarray(A), jnp.asarray(B),
+                                        jnp.asarray(te)), key)
+        assert fake.dtype == jnp.float32
+        state, dm = d_step(state, jnp.asarray(A), fake)
+        assert np.isfinite(float(m["G_loss"]))
+        assert np.isfinite(float(dm["D_loss"]))
+
     def test_vq_mode(self):
         cfg = tiny_cfg(VQ_encoder=True, VQ_num_embed=8)
         models = gan_tr.build_models(cfg)
