@@ -30,7 +30,8 @@ DEFAULTS = dict(
     model_sel="AI-DEAL",
     map="PDFF",  # PDFF | R2s | Water | PDFF-var
     n_echoes=6, field=1.5, batch_size=1, crops_file="",
-    te1=0.0013, dte=0.0021, out_xlsx="ROI_analysis.xlsx", interactive=False,
+    te1=0.0013, dte=0.0021, out_xlsx="ROI_analysis.xlsx", te_suffix=False,
+    interactive=False,
     rem_R2=False,
 )
 
@@ -270,7 +271,15 @@ def main(argv=None):
     err, within = roi_mod.bias_histogram(res_m.values_1, res_r.values_1, env)
     print(f"{cfg['map']}: mean bias {np.mean(err):+.4f}, "
           f"{100 * within:.1f}% within ±{env}")
-    out = Path(cfg["output_dir"]) / cfg["out_xlsx"]
+    if cfg.get("te_suffix"):
+        # reference per-protocol naming ({map}_ROIs_{te1}_{dte}.xlsx, e.g.
+        # PDFF_ROIs_13_21.xlsx — the filenames the offline Wilcoxon/
+        # precision analyses enumerate, statistics/wilcox_test_allROI.R)
+        suffix = f"{round(cfg['te1'] * 1e4)}_{round(cfg['dte'] * 1e4)}"
+        name = f"{cfg['map']}_ROIs_{suffix}.xlsx"
+    else:
+        name = cfg["out_xlsx"]
+    out = Path(cfg["output_dir"]) / name
     roi_mod.export_roi_xlsx(str(out), res_m, res_r, map_name=cfg["map"])
     print(f"wrote {out}")
 

@@ -142,3 +142,17 @@ class TestROICLIDispatch:
             "--experiment_dir", str(tmp_path / "none"),
             "--crops_file", crops, "--output_base", str(tmp_path)])
         assert (tmp_path / "t-roi-var" / "ROI_analysis.xlsx").exists()
+
+    def test_te_suffix_naming(self, tmp_path):
+        # reference per-protocol filenames ({map}_ROIs_{te1}_{dte}.xlsx)
+        # consumed by the offline Wilcoxon/precision analyses
+        from ideal_gan_tpu.cli import roi_analysis
+        crops = str(tmp_path / "crops.npy")
+        save_crops(crops, [0], [(4, 4)], [])
+        roi_analysis.main([
+            "--dataset", "t-roi-te", "--synthetic", "2",
+            "--data_size", "32", "--model_sel", "VET-Net",
+            "--te1", "0.0014", "--dte", "0.0022", "--te_suffix", "True",
+            "--experiment_dir", str(tmp_path / "none"),
+            "--crops_file", crops, "--output_base", str(tmp_path)])
+        assert (tmp_path / "t-roi-te" / "PDFF_ROIs_14_22.xlsx").exists()
