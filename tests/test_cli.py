@@ -151,3 +151,26 @@ class TestCLIs:
             "--batch_size", "8", "--epochs", "1", "--epoch_ckpt", "1",
             "--output_base", str(tmp_path)])
         assert (tmp_path / "t-dlgen" / "checkpoints").exists()
+
+    def test_crash_resume_fast_forwards(self, tmp_path, capsys):
+        # crash-resume (SURVEY §5): a second invocation restores the
+        # latest checkpoint and continues from the completed epoch
+        # (reference ep_cnt pattern, train-sup.py:456-482)
+        from ideal_gan_tpu.cli import train_sup
+        common = ["--dataset", "t-resume", "--synthetic", "16",
+                  "--data_size", "32", "--n_G_filters", "4",
+                  "--batch_size", "8", "--epoch_ckpt", "1",
+                  "--output_base", str(tmp_path)]
+        train_sup.main(common + ["--epochs", "2"])
+        ckdir = tmp_path / "t-resume" / "checkpoints"
+        assert ckdir.exists()
+        capsys.readouterr()
+        train_sup.main(common + ["--epochs", "4"])
+        out = capsys.readouterr().out
+        assert "resumed from epoch 2" in out
+        assert "epoch 3/4" in out and "epoch 4/4" in out
+        assert "epoch 1/4" not in out  # completed epochs are skipped
+        from ideal_gan_tpu.utils.checkpoint import Checkpoint
+        ck = Checkpoint(str(ckdir))
+        assert ck.latest_step() == 4
+        ck.close()
