@@ -132,28 +132,37 @@ def main():
                  -1)], 1).astype(np.float32)
     A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
                                                   jnp.asarray(te)))
+    # The PI-VAE trains at batch 1–4 in the reference; at 384² the f32
+    # g-step backward OOMs one v5e chip at batch 8 (XLA pads the
+    # 12-channel decoder temporaries ~10×), so the GAN rows run at 2.
+    gb = min(nb, 2)
     for bf16 in (False, True):
-        gcfg = dict(gan_tr.DEFAULTS, batch_size=nb, epochs=1,
+        gcfg = dict(gan_tr.DEFAULTS, batch_size=gb, epochs=1,
                     adv_train=True, A_loss="pix-wise", bf16=bf16)
-        gmodels = gan_tr.build_models(gcfg)
-        g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
-        gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key, A_mag[:1])
-        gbatch = (jnp.asarray(A_mag), jnp.asarray(b_mag), jnp.asarray(te))
-        gstate, gm, fake = g_step(gstate, gbatch, key)
-        gstate, dm_ = d_step(gstate, gbatch[0], fake)
-        jax.block_until_ready(dm_["D_loss"])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        name = "gan (g+d)" + (" bf16" if bf16 else "")
+        try:
+            gmodels = gan_tr.build_models(gcfg)
+            g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
+            gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key,
+                                       A_mag[:1])
+            gbatch = (jnp.asarray(A_mag[:gb]), jnp.asarray(b_mag[:gb]),
+                      jnp.asarray(te[:gb]))
             gstate, gm, fake = g_step(gstate, gbatch, key)
             gstate, dm_ = d_step(gstate, gbatch[0], fake)
-        jax.block_until_ready(dm_["D_loss"])
-        dt = (time.perf_counter() - t0) / args.iters
-        name = "gan (g+d)" + (" bf16" if bf16 else "")
-        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
-              f"({nb / dt:7.1f} slices/s)")
-        results.append({"name": name, "ms_per_step": dt * 1e3,
-                        "slices_per_s": nb / dt, "batch": nb, "size": h,
-                        "note": "PI-VAE adversarial g+d"})
+            jax.block_until_ready(dm_["D_loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                gstate, gm, fake = g_step(gstate, gbatch, key)
+                gstate, dm_ = d_step(gstate, gbatch[0], fake)
+            jax.block_until_ready(dm_["D_loss"])
+            dt = (time.perf_counter() - t0) / args.iters
+            print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
+                  f"({gb / dt:7.1f} slices/s)")
+            results.append({"name": name, "ms_per_step": dt * 1e3,
+                            "slices_per_s": gb / dt, "batch": gb,
+                            "size": h, "note": "PI-VAE adversarial g+d"})
+        except Exception as e:  # OOM guard: keep the other rows
+            print(f"{name:12s}: FAILED ({type(e).__name__})")
 
     # --- LDM denoiser step on PI-VAE latents ---------------------------
     from ideal_gan_tpu.train import ldm as ldm_tr
