@@ -26,16 +26,25 @@ class Checkpoint:
                                                  create=True),
         )
 
-    def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        """Asynchronous by default (SURVEY §5 TPU plan): the serialized
+        write happens on orbax's background thread so the train loop does
+        not block on disk. At most one save is in flight — a new save
+        first drains the previous one; `close()` (and `restore`) drain
+        the last."""
         self._mgr.wait_until_finished()
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         """Restore into the structure of `state_template`; raises if no
         checkpoint exists."""
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -51,4 +60,5 @@ class Checkpoint:
             return state_template
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

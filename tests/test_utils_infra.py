@@ -62,6 +62,18 @@ class TestCheckpoint:
         np.testing.assert_allclose(restored["w"], state2["w"])
         ckpt.close()
 
+    def test_async_save_overlap_then_drain(self, tmp_path):
+        # async checkpointing: back-to-back saves without waiting must
+        # serialize correctly; close()/restore() drain the in-flight write
+        from ideal_gan_tpu.utils.checkpoint import Checkpoint
+        ckpt = Checkpoint(tmp_path / "ck2")
+        for step in range(1, 4):
+            ckpt.save(step, {"w": np.full(8, float(step)), "step": step})
+        restored = ckpt.restore({"w": np.zeros(8), "step": 0})
+        np.testing.assert_allclose(restored["w"], 3.0)
+        assert ckpt.latest_step() == 3
+        ckpt.close()
+
     def test_try_restore_empty(self, tmp_path):
         ckpt = Checkpoint(tmp_path / "ck2")
         template = {"x": np.ones(2)}
