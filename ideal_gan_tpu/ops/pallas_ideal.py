@@ -131,8 +131,11 @@ def _fit_kernel(ne, ns, fm_sc, r2_sc, rho_sc, uniform,
     acc = [[jnp.zeros_like(phi), jnp.zeros_like(phi)] for _ in range(ns)]
     for e, (c, s) in enumerate(_phasors(uniform, -1.0, ne, te_ref, b, phi,
                                         r2s)):
-        yre = c * sre_ref[0, e] - s * sim_ref[0, e]
-        yim = c * sim_ref[0, e] + s * sre_ref[0, e]
+        # echo tiles may arrive bf16 (bandwidth mode) — math stays f32
+        sre = sre_ref[0, e].astype(jnp.float32)
+        sim = sim_ref[0, e].astype(jnp.float32)
+        yre = c * sre - s * sim
+        yim = c * sim + s * sre
         for sp in range(ns):
             mp_re = mp_ref[b, (sp * ne + e) * 2]
             mp_im = mp_ref[b, (sp * ne + e) * 2 + 1]
@@ -438,10 +441,12 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     production inference pipeline converts once at ingest and keeps data
     planar; this entry point consumes that layout directly:
 
-      s_re, s_im : (nb, ne, H, W) float32
+      s_re, s_im : (nb, ne, H, W) float32 — or bfloat16 for the
+                   bandwidth-saving serving mode (echo bytes halve; the
+                   kernel upcasts each tile and all math stays f32)
       phi, r2s   : (nb, H, W) normalized field-map / R2*
 
-    Returns (rho_re, rho_im), each (nb, ns, H, W). Same kernel as
+    Returns (rho_re, rho_im), each (nb, ns, H, W) float32. Same kernel as
     `fit_rho_fused`; only the layout shims differ. Forward-only (no VJP) —
     training paths use the MEBCRN entry points.
     """
@@ -452,6 +457,13 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     mp_scalars, te_flat = precomputed
     uniform = _te_is_uniform(te) if uniform_te is None else uniform_te
 
+    bf16_in = s_re.dtype == jnp.bfloat16
+    if bf16_in and (wdt % LANES != 0 or hgt % 16 != 0):
+        # bf16 native tiling is (16, 128); shapes that can't block on it
+        # fall back to f32 inputs
+        s_re, s_im = s_re.astype(jnp.float32), s_im.astype(jnp.float32)
+        bf16_in = False
+
     phi = phi[:, None]
     r2s = r2s[:, None]
     kernel = functools.partial(_fit_kernel, ne, ns, fm_sc, r2_sc, rho_sc,
@@ -461,11 +473,16 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
         # (H·W/128, 128) physically relayouts the (8, 128) tiling (a full
         # HBM copy, measured ≈40 % of fit time) — blocking the native
         # layout avoids it.
+        min_th = 16 if bf16_in else 8
         th = _row_tile(hgt * (wdt // LANES)) * LANES // wdt
-        th = max(th, 8)
+        th = max(th, min_th)
         while hgt % th:
             th //= 2
-        th = max(th, 8)
+        th = max(th, min_th)
+        if hgt % th:  # bf16 min tile doesn't divide H → upcast instead
+            s_re, s_im = (s_re.astype(jnp.float32),
+                          s_im.astype(jnp.float32))
+            th = max(th // 2, 8)
 
         def hw_spec(k):
             return pl.BlockSpec((1, k, th, wdt), lambda b, i: (b, 0, i, 0),

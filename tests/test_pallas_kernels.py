@@ -195,6 +195,37 @@ class TestPlanarFit:
         np.testing.assert_allclose(np.asarray(rim), ref[..., 1],
                                    rtol=1e-5, atol=1e-6)
 
+    def test_bf16_echo_inputs_track_f32(self):
+        # bandwidth-saving serving mode: bf16 echo buffers, f32 math —
+        # ρ must track the f32 path within bf16 input quantization
+        maps_np = make_maps(h=64, w=128)
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        ref = kops.fit_rho_planar(
+            acqs[..., 0], acqs[..., 1],
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        out = kops.fit_rho_planar(
+            acqs[..., 0].astype(jnp.bfloat16),
+            acqs[..., 1].astype(jnp.bfloat16),
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        for o, r in zip(out, ref):
+            assert o.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=5e-3)
+
+    def test_bf16_unalignable_shape_falls_back(self):
+        # H not a multiple of the bf16 (16, 128) tile → silent f32 upcast
+        maps_np = make_maps(h=40, w=128)
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        out = kops.fit_rho_planar(
+            acqs[..., 0].astype(jnp.bfloat16),
+            acqs[..., 1].astype(jnp.bfloat16),
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        assert np.isfinite(np.asarray(out[0])).all()
+
 
 class TestMagFitFused:
     def test_matches_jnp_reference(self):
