@@ -34,6 +34,24 @@ class Dataset:
             return cls(list(arrays[0]), n, seed)
         return cls(list(zip(*arrays)), n, seed)
 
+    @classmethod
+    def from_image_files(cls, paths, labels=None, loader=None,
+                         seed: int = 0) -> "Dataset":
+        """Disk-image pipeline (reference disk_image_batch_dataset,
+        tf2lib/data/dataset.py:81-129): items are file paths, decoded
+        lazily per iteration via `loader` (default: matplotlib imread →
+        float32 HWC). With `labels`, yields (image, label) tuples."""
+        paths = list(paths)
+        if loader is None:
+            def loader(p):
+                import matplotlib.pyplot as plt
+                return np.asarray(plt.imread(p), dtype=np.float32)
+        if labels is not None:
+            assert len(labels) == len(paths)
+            ds = cls(list(zip(paths, list(labels))), len(paths), seed)
+            return ds.map(lambda rec: (loader(rec[0]), rec[1]))
+        return cls(paths, len(paths), seed).map(loader)
+
     def shuffle(self) -> "Dataset":
         self._ops.append(("shuffle",))
         return self

@@ -32,6 +32,24 @@ class TestPipeline:
         sizes = [len(b) for b in ds]
         assert sizes == [2, 2, 1]
 
+    def test_from_image_files(self, tmp_path):
+        # disk-image variant (reference disk_image_batch_dataset)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        paths = []
+        for i in range(4):
+            img = np.full((8, 8), i / 4.0, np.float32)
+            p = tmp_path / f"im{i}.png"
+            plt.imsave(p, img, cmap="gray", vmin=0, vmax=1)
+            paths.append(str(p))
+        ds = Dataset.from_image_files(paths, labels=[0, 1, 2, 3]).batch(2)
+        batches = list(ds)
+        assert len(batches) == 2
+        imgs, labels = batches[0]
+        assert imgs.shape[0] == 2 and imgs.dtype == np.float32
+        assert list(labels) == [0, 1]
+
     def test_minmax_norm(self):
         x = np.asarray([2.0, 4.0, 6.0])
         np.testing.assert_allclose(minmax_norm(x), [0, 0.5, 1.0], atol=1e-9)
