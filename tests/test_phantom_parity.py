@@ -22,9 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 import phantom_parity  # noqa: E402
 
 
-@pytest.fixture(scope="module")
-def comparison():
-    return phantom_parity.compare()
+@pytest.fixture(scope="module", params=[1.5, 3.0],
+                ids=["1p5T", "3T"])
+def comparison(request):
+    return phantom_parity.compare(field=request.param)
 
 
 def test_per_vial_pdff_within_half_percent_of_reference(comparison):

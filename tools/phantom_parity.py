@@ -60,7 +60,7 @@ NOISE_STD = 0.005        # complex Gaussian noise per channel
 SEED = 1234
 
 
-def build_phantom():
+def build_phantom(field: float = FIELD):
     """Synthetic multi-vial phantom → (acqs, maps, te, vial_masks).
 
     acqs: (1, NE, H, W, 2) MEBCRN float32 with additive Gaussian noise;
@@ -98,9 +98,12 @@ def build_phantom():
         np.stack([fm / physics.FM_SC, r2s / physics.R2_SC], -1),
     ])[None].astype(np.float32)  # (1, 3, H, W, 2)
 
-    te = np.asarray(physics.te_train(NE, bs=1), np.float32)  # (1, NE, 1)
+    # field-appropriate protocol TE train (1.5T: 1.3/2.1 ms;
+    # 3T: 0.879/0.6623 ms — wflib/IDEAL_model.py:23-24,149)
+    te = np.asarray(physics.te_train_for_field(NE, bs=1, field=field),
+                    np.float32)
     acqs = np.asarray(physics.synthesize(jnp.asarray(maps), jnp.asarray(te),
-                                         field=FIELD), np.float32)
+                                         field=field), np.float32)
     rng = np.random.default_rng(SEED)
     acqs = acqs + rng.normal(scale=NOISE_STD, size=acqs.shape).astype(
         np.float32) * support[None, None, :, :, None]
@@ -126,7 +129,7 @@ def _pdff_from_wf_mag(wf_abs: np.ndarray) -> np.ndarray:
     return np.where(tot > 1e-8, f / np.maximum(tot, 1e-8), 0.0)
 
 
-def run_repo(acqs, maps, te):
+def run_repo(acqs, maps, te, field: float = FIELD):
     """This repo's complex LS fit + magnitude CSE fit → (pdff_c, pdff_m)."""
     import jax
     import jax.numpy as jnp
@@ -135,19 +138,20 @@ def run_repo(acqs, maps, te):
 
     pm = maps[:, 2:3]
     rho = np.asarray(jax.jit(
-        lambda a, p, t: physics.fit_rho(a, p, t, field=FIELD))(
+        lambda a, p, t: physics.fit_rho(a, p, t, field=field))(
             jnp.asarray(acqs), jnp.asarray(pm), jnp.asarray(te)))
     pdff_c = _pdff_from_wf_complex(rho)
 
     a_abs = np.sqrt(np.sum(np.square(acqs), axis=-1, keepdims=True))
     r2_only = pm[..., 1:]  # (1,1,H,W,1) normalized R2*
-    res = jax.jit(lambda a, r, t: physics.cse_mag_fit(a, r, t, field=FIELD))(
+    res = jax.jit(lambda a, r, t: physics.cse_mag_fit(a, r, t,
+                                                       field=field))(
         jnp.asarray(a_abs), jnp.asarray(r2_only), jnp.asarray(te))
     pdff_m = _pdff_from_wf_mag(np.asarray(res.rho))
     return pdff_c, pdff_m
 
 
-def run_reference(acqs, maps, te):
+def run_reference(acqs, maps, te, field: float = FIELD):
     """The TF reference's get_rho + CSE_mag on the same inputs."""
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
@@ -158,13 +162,13 @@ def run_reference(acqs, maps, te):
     pm_tf = tf.convert_to_tensor(maps[:, 2:3], tf.float32)
     te_tf = tf.convert_to_tensor(te, tf.float32)
 
-    rho_ref = wf.get_rho(a_tf, pm_tf, field=FIELD, te=te_tf).numpy()
+    rho_ref = wf.get_rho(a_tf, pm_tf, field=field, te=te_tf).numpy()
     pdff_c = _pdff_from_wf_complex(rho_ref)
 
     a_abs = tf.math.sqrt(tf.reduce_sum(tf.square(a_tf), axis=-1,
                                        keepdims=True))
     r2_tf = pm_tf[..., 1:]
-    wf_abs, _ = wf.CSE_mag(a_abs, r2_tf, [FIELD, te_tf])
+    wf_abs, _ = wf.CSE_mag(a_abs, r2_tf, [field, te_tf])
     pdff_m = _pdff_from_wf_mag(wf_abs.numpy())
     return pdff_c, pdff_m
 
@@ -173,13 +177,14 @@ def per_vial(pdff: np.ndarray, masks) -> dict:
     return {ff: float(np.median(pdff[0][mask])) for ff, mask in masks.items()}
 
 
-def compare(tol: float = 0.005):
+def compare(tol: float = 0.005, field: float = FIELD):
     """Run both implementations; return the per-vial comparison dict."""
-    acqs, maps, te, masks = build_phantom()
-    repo_c, repo_m = run_repo(acqs, maps, te)
-    ref_c, ref_m = run_reference(acqs, maps, te)
+    acqs, maps, te, masks = build_phantom(field)
+    repo_c, repo_m = run_repo(acqs, maps, te, field)
+    ref_c, ref_m = run_reference(acqs, maps, te, field)
 
-    out = {"tolerance": tol, "noise_std": NOISE_STD, "vials": []}
+    out = {"tolerance": tol, "noise_std": NOISE_STD, "field": field,
+           "vials": []}
     worst = {"complex": 0.0, "magnitude": 0.0}
     for ff in GT_VALS:
         rc, xc = per_vial(repo_c, masks)[ff], per_vial(ref_c, masks)[ff]
@@ -200,20 +205,27 @@ def compare(tol: float = 0.005):
 
 
 def main():
-    result = compare()
+    out = {}
+    ok = True
+    for key, field in (("field_1p5T", 1.5), ("field_3T", 3.0)):
+        result = compare(field=field)
+        out[key] = result
+        ok = ok and result["pass"]
+        print(f"== {field} T protocol ==")
+        for row in result["vials"]:
+            print(f"vial GT={row['gt_ff']:.3f}: "
+                  f"Δcomplex={row['complex']['delta']:+.5f} "
+                  f"Δmag={row['magnitude']['delta']:+.5f} "
+                  f"(repo bias {row['complex']['repo_bias']:+.5f})")
+        print(f"max |Δ|: complex={result['max_abs_delta']['complex']:.5f} "
+              f"magnitude={result['max_abs_delta']['magnitude']:.5f} "
+              f"tol={result['tolerance']} → "
+              f"{'PASS' if result['pass'] else 'FAIL'}")
+    out["pass"] = ok
     path = REPO / "PHANTOM_PARITY.json"
-    path.write_text(json.dumps(result, indent=2) + "\n")
-    for row in result["vials"]:
-        print(f"vial GT={row['gt_ff']:.3f}: "
-              f"Δcomplex={row['complex']['delta']:+.5f} "
-              f"Δmag={row['magnitude']['delta']:+.5f} "
-              f"(repo bias {row['complex']['repo_bias']:+.5f})")
-    print(f"max |Δ|: complex={result['max_abs_delta']['complex']:.5f} "
-          f"magnitude={result['max_abs_delta']['magnitude']:.5f} "
-          f"tol={result['tolerance']} → "
-          f"{'PASS' if result['pass'] else 'FAIL'}")
+    path.write_text(json.dumps(out, indent=2) + "\n")
     print(f"wrote {path}")
-    return 0 if result["pass"] else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
