@@ -13,6 +13,7 @@ from ..train import gan as gan_tr
 from ..train import ldm as ldm_tr
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
+from ..utils.preempt import PreemptionGuard
 from .common import load_cohorts, load_settings, setup_experiment
 
 
@@ -85,6 +86,7 @@ def main(argv=None):
     else:
         labels = np.zeros((len(acqs),), np.int32)
     gstep = 0
+    guard = PreemptionGuard()
     for ep in range(start, cfg["epochs"]):
         for (A, lab) in batch_iterator((acqs, labels), bs, rng):
             key, k_step = jax.random.split(key)
@@ -93,9 +95,13 @@ def main(argv=None):
             gstep += 1
             if gstep % 20 == 0:
                 writer.write(jax.device_get(metrics), gstep, name="LDM")
-        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+        if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
+                or guard.should_stop):
             ckpt.save(ep + 1, {"state": jax.device_get(state),
                                "z_std": float(z_std)})
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
         print(f"epoch {ep + 1}/{cfg['epochs']} "
               f"eps_mse={float(metrics['loss']):.5f}")
     writer.close()

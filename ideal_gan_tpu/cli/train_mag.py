@@ -9,6 +9,7 @@ from ..parallel import data_mesh_for_batch, shard_batch
 from ..train import mag
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
+from ..utils.preempt import PreemptionGuard
 from .common import load_cohorts, setup_experiment
 
 
@@ -33,6 +34,7 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     gstep = start * steps_per_epoch
+    guard = PreemptionGuard()
     for ep in range(start, cfg["epochs"]):
         for (B, te_b) in batch_iterator((maps, te), cfg["batch_size"], rng):
             key, k_step = jax.random.split(key)
@@ -41,8 +43,12 @@ def main(argv=None):
             gstep += 1
             if gstep % 20 == 0:
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")
-        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+        if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
+                or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
         print(f"epoch {ep + 1}/{cfg['epochs']} "
               f"G_loss={float(metrics['G_loss']):.6f}")
     writer.close()

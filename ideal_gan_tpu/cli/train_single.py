@@ -11,6 +11,7 @@ import numpy as np
 from ..parallel import data_mesh_for_batch, shard_batch
 from ..train import single
 from ..utils import Checkpoint, DictSummaryWriter
+from ..utils.preempt import PreemptionGuard
 from .common import load_cohorts, setup_experiment
 
 
@@ -38,13 +39,18 @@ def main(argv=None):
 
     batch = shard_batch((jnp.asarray(acqs), jnp.asarray(maps),
                          jnp.asarray(te)), mesh)
+    guard = PreemptionGuard()
     for ep in range(start, cfg["epochs"]):
         key, k_step = jax.random.split(key)
         state, metrics = step_fn(state, batch, k_step)
         if (ep + 1) % 50 == 0:
             writer.write(jax.device_get(metrics), ep + 1, name="G_losses")
-        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+        if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
+                or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
             print(f"epoch {ep + 1}/{cfg['epochs']} cycle="
                   f"{float(metrics['A2B2A_cycle_loss']):.6f}")
     writer.close()

@@ -9,6 +9,7 @@ from ..parallel import data_mesh_for_batch, shard_batch
 from ..train import sup
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
+from ..utils.preempt import PreemptionGuard
 from .common import load_cohorts, setup_experiment
 
 
@@ -70,6 +71,7 @@ def main(argv=None):
     gstep = start * steps_per_epoch
     prof_ctx = profile(cfg.get("profile_dir") or None)
     prof_ctx.__enter__()
+    guard = PreemptionGuard()
     for ep in range(start, cfg["epochs"]):
         for batch in batch_iterator((acqs, maps, te), cfg["batch_size"], rng,
                                     shuffle=cfg["shuffle"]):
@@ -83,8 +85,12 @@ def main(argv=None):
             _, vmetrics = step_fn(state, shard_batch(vb, mesh), key)
             val_writer.write(jax.device_get(vmetrics), gstep,
                              name="G_losses")
-        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+        if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
+                or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
         print(f"epoch {ep + 1}/{cfg['epochs']} "
               f"G_loss={float(metrics['G_loss']):.5f}")
     prof_ctx.__exit__(None, None, None)

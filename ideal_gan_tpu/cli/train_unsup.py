@@ -10,6 +10,7 @@ from ..parallel import data_mesh_for_batch, shard_batch
 from ..train import unsup
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
+from ..utils.preempt import PreemptionGuard
 from .common import load_cohorts, setup_experiment
 
 
@@ -96,6 +97,7 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     gstep = start * steps_per_epoch
+    guard = PreemptionGuard()
     for ep in range(start, cfg["epochs"]):
         for (A, te_b) in batch_iterator((acqs, te), cfg["batch_size"], rng):
             key, k_aug, k_step = jax.random.split(key, 3)
@@ -117,8 +119,12 @@ def main(argv=None):
             gstep += 1
             if gstep % 20 == 0:
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")
-        if (ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]:
+        if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
+                or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
             # visual-regression sample grid (reference dumps
             # samples_training/iter-*.png every sampling interval)
             _save_sample(cfg, g_fm, state, acqs[:1], te[:1], maps[:1],
