@@ -60,7 +60,7 @@ def main(argv=None):
 
     cfg = dict(model_sel=args.model_sel, experiment_dir=args.experiment_dir,
                n_echoes=args.n_echoes, field=args.field, rem_R2=False,
-               te1=args.te1, dte=args.dte)
+               te1=args.te1, dte=args.dte, map="PDFF")
 
     import matplotlib
     matplotlib.use("Agg")
@@ -68,8 +68,9 @@ def main(argv=None):
 
     fig, axs = plt.subplots(figsize=(4 * len(cases), 4), ncols=len(cases),
                             squeeze=False)
-    # same-shape cases run as ONE batched inference (one compile); mixed
-    # shapes fall back to per-case calls
+    # same-shape cases share ONE infer_maps call (one model build/restore
+    # + one jit; inference itself is per-slice inside the dispatch);
+    # mixed shapes fall back to per-case calls
     same_shape = len({(a.shape, t.shape) for a, t, _ in cases}) == 1
     t1 = time.process_time()
     if same_shape:

@@ -72,8 +72,20 @@ def main(argv=None):
     stack = r2s * physics.R2_SC if cfg["map"] == "R2s" else pdff
     per_vial, bias = roi_mod.phantom_bias(stack, crops_file)
     per_slice = roi_mod.phantom_per_slice(stack, crops_file)
-    for g in sorted(bias):
-        if not np.isnan(bias[g]):
+    if cfg["map"] == "R2s":
+        # The phantom ground truth is fat fractions; for R2* they only
+        # identify vials — a meaningful R2* reference is another
+        # measurement (the offline R scripts regress against the
+        # GraphCuts column, GC-bias.R), so the GT-bias is suppressed.
+        bias = {g: float("nan") for g in bias}
+    for g in sorted(per_vial):
+        if not per_vial[g]:
+            continue
+        if np.isnan(bias[g]):
+            print(f"vial id={g:.3f}: mean R2* "
+                  f"{float(np.mean(per_vial[g])):.2f} 1/s "
+                  f"({len(per_vial[g])} ROIs)")
+        else:
             print(f"vial GT={g:.3f}: bias {bias[g]:+.4f} "
                   f"({len(per_vial[g])} ROIs)")
     out = Path(cfg["output_dir"]) / cfg["out_xlsx"]

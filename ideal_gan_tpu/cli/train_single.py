@@ -48,11 +48,11 @@ def main(argv=None):
         if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
                 or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
+            print(f"epoch {ep + 1}/{cfg['epochs']} cycle="
+                  f"{float(metrics['A2B2A_cycle_loss']):.6f}")
         if guard.should_stop:
             print(f"preempted: checkpointed epoch {ep + 1}, exiting")
             break
-            print(f"epoch {ep + 1}/{cfg['epochs']} cycle="
-                  f"{float(metrics['A2B2A_cycle_loss']):.6f}")
     writer.close()
     ckpt.close()
 

@@ -75,9 +75,19 @@ def main(argv=None):
         train_idx = np.setdiff1d(np.arange(len(acqs)), val_idx)
         acqs, maps, te = acqs[train_idx], maps[train_idx], te[train_idx]
     if cfg["UQ_calib"]:
-        n_cal = max(len(acqs) // 5, cfg["batch_size"])
-        calib_data = (acqs[-n_cal:], te[-n_cal:])
-        acqs, maps, te = acqs[:-n_cal], maps[:-n_cal], te[:-n_cal]
+        # carve a calibration split, but never starve the training fold
+        # (at least one training batch must remain) and keep ≥2 calib
+        # slices (the stage holds one fraction out for the NLL report)
+        n_cal = min(max(len(acqs) // 5, cfg["batch_size"]),
+                    len(acqs) - cfg["batch_size"])
+        if n_cal < 2:
+            print("UQ_calib: cohort too small for a calibration split "
+                  f"({len(acqs)} slices, batch {cfg['batch_size']}) — "
+                  "skipping the calibration stage")
+            cfg["UQ_calib"] = False
+        else:
+            calib_data = (acqs[-n_cal:], te[-n_cal:])
+            acqs, maps, te = acqs[:-n_cal], maps[:-n_cal], te[:-n_cal]
     n = len(acqs)
     steps_per_epoch = max(n // cfg["batch_size"], 1)
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
@@ -122,13 +132,13 @@ def main(argv=None):
         if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
                 or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
-        if guard.should_stop:
-            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
-            break
             # visual-regression sample grid (reference dumps
             # samples_training/iter-*.png every sampling interval)
             _save_sample(cfg, g_fm, state, acqs[:1], te[:1], maps[:1],
                          ep + 1, key)
+        if guard.should_stop:
+            print(f"preempted: checkpointed epoch {ep + 1}, exiting")
+            break
         print(f"epoch {ep + 1}/{cfg['epochs']} cycle_loss="
               f"{float(metrics['A2B2A_cycle_loss']):.6f}")
 
@@ -140,17 +150,19 @@ def main(argv=None):
         cal_acqs, cal_te = calib_data
         calib_step = unsup.make_calib_train_step(cfg, g_fm, g_r2)
         nll_fn = unsup.eval_calibrated_nll(cfg, g_fm, g_r2)
-        n_hold = max(len(cal_acqs) // 4, 1)
+        # hold out a fraction for the NLL report, keep ≥1 fit slice
+        n_hold = min(max(len(cal_acqs) // 4, 1), len(cal_acqs) - 1)
         hold = (jnp.asarray(cal_acqs[:n_hold]), jnp.asarray(cal_te[:n_hold]))
         fit_acqs, fit_te = cal_acqs[n_hold:], cal_te[n_hold:]
         cal_bs = min(cfg["batch_size"], len(fit_acqs))
+        cal_mesh = data_mesh_for_batch(cal_bs)
         nll0 = float(nll_fn(state, *hold, key))
         for cep in range(cfg["epochs"]):
             for (A, te_b) in batch_iterator((fit_acqs, fit_te), cal_bs,
                                             rng):
                 key, k_step = jax.random.split(key)
                 state, cm = calib_step(
-                    state, shard_batch((A, te_b), mesh), k_step)
+                    state, shard_batch((A, te_b), cal_mesh), k_step)
         nll1 = float(nll_fn(state, *hold, key))
         print(f"calibration: held-out NLL {nll0:.5f} → {nll1:.5f}, "
               f"calib={np.asarray(state.calib)}")

@@ -173,7 +173,12 @@ def make_train_step(cfg, model, r2_model=None):
 
         if out_vars == "WF":
             # Direct magnitude regression (train-IDEAL-TEaug.py:237-253).
-            wf_abs = model.apply({"params": params}, A, te_vec)
+            # ME-UNet output is species-last (nb, 1, H, W, 2); GT rows are
+            # species-on-axis-1 (nb, 2, H, W, 1) — transpose before the
+            # mask/MAE or broadcasting silently cross-compares species.
+            wf_abs = model.apply({"params": params}, A,
+                                 te_vec).astype(jnp.float32)
+            wf_abs = jnp.transpose(wf_abs, (0, 4, 2, 3, 1))
             wf_abs = jnp.where(B[:, :2, :, :, :1] != 0.0, wf_abs, 0.0)
             sup = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
             return sup, {"PM_loss": sup, "WF_loss": sup,

@@ -88,53 +88,67 @@ def _calib_scale(calib, ne):
     return calib[:ne][None, :, None, None, None]
 
 
+def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
+                 A, te, key, train=True, stop_grad_r2=False,
+                 stop_grad_wf=False, with_var=True):
+    """Shared forward used by the train step, the σ-calibration step and
+    the held-out NLL evaluator: posterior heads → fused physics cycle →
+    (optionally) propagated per-echo acquisition variance × calibration
+    scale.
+
+    Returns (fm_mean, a_hat, a_var); a_hat is already masked to the
+    acquisition support; a_var is None when with_var=False."""
+    pm_mode = cfg["out_vars"] == "PM"
+    k1, k2 = jax.random.split(key)
+    out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1},
+                        train=train)
+    fm_mean, fm_sigma = _as_mean_sigma(out_fm)
+    if cfg.get("learn_fm_offset"):
+        # Instance-normalized CNNs carry no DC channel, so the absolute
+        # field-map level is weakly constrained (the water-fat
+        # swap/offset ambiguity); a learnable global offset restores it —
+        # trained by the same cycle loss.
+        fm_mean = fm_mean + fm_offset
+    if pm_mode:
+        a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
+        out_r2 = g_r2.apply({"params": params_r2}, a_abs,
+                            rngs={"bayes": k2}, train=train)
+        r2_mean, r2_sigma = _as_mean_sigma(out_r2)
+        if stop_grad_r2:
+            r2_mean = jax.lax.stop_gradient(r2_mean)  # R2 net trained apart
+    else:
+        r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
+    pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
+    # uniform_te engages the phasor-recurrence kernel inside jit (traced
+    # TE arrays defeat the auto-detection); protocol trains are uniform
+    wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                 uniform_te=cfg.get("uniform_te", False))
+    a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+    if not with_var:
+        return fm_mean, a_hat, None
+    phi = physics.Posterior(
+        fm_mean[:, 0, ..., 0],
+        jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
+        else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
+    r2s = physics.Posterior(
+        r2_mean[:, 0, ..., 0],
+        jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
+        else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
+    wf_in = jax.lax.stop_gradient(wf) if stop_grad_wf else wf
+    a_var = physics.acq_uncertainty(wf_in, phi, r2s, te, field=cfg["field"],
+                                    rem_r2=not pm_mode)
+    a_var = a_var * _calib_scale(calib, a_var.shape[1])
+    return fm_mean, a_hat, a_var
+
+
 def make_train_step(cfg, g_fm, g_r2):
     uq = cfg["UQ"]
-    pm_mode = cfg["out_vars"] == "PM"
 
     def loss_fn(params_fm, fm_offset, params_r2, calib, A, te, key):
-        k1, k2 = jax.random.split(key)
-        rngs = {"bayes": k1}
-        out_fm = g_fm.apply({"params": params_fm}, A, rngs=rngs)
-        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
-        if cfg.get("learn_fm_offset"):
-            # Instance-normalized CNNs carry no DC channel, so the
-            # absolute field-map level is weakly constrained (the
-            # water-fat swap/offset ambiguity); a learnable global offset
-            # restores it — trained by the same cycle loss.
-            fm_mean = fm_mean + fm_offset
-
-        if pm_mode:
-            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
-            out_r2 = g_r2.apply({"params": params_r2}, a_abs,
-                                rngs={"bayes": k2})
-            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
-            r2_mean = jax.lax.stop_gradient(r2_mean)  # R2 net trained apart
-        else:
-            r2_mean = jnp.zeros_like(fm_mean)
-            r2_sigma = None
-
-        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)  # (nb,1,H,W,2)
-        # uniform_te engages the phasor-recurrence kernel inside jit
-        # (traced TE arrays defeat the auto-detection); protocol TE trains
-        # are uniformly spaced
-        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
-                                     uniform_te=cfg.get("uniform_te", False))
-        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
-
+        fm_mean, a_hat, a_var = _uq_pipeline(
+            cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
+            A, te, key, stop_grad_r2=True, stop_grad_wf=True, with_var=uq)
         if uq:
-            phi = physics.Posterior(
-                fm_mean[:, 0, ..., 0],
-                jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
-                else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
-            r2s = physics.Posterior(
-                r2_mean[:, 0, ..., 0],
-                jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
-                else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
-            a_var = physics.acq_uncertainty(
-                jax.lax.stop_gradient(wf), phi, r2s, te, field=cfg["field"],
-                rem_r2=not pm_mode)
-            a_var = a_var * _calib_scale(calib, a_var.shape[1])
             cycle_loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
         else:
             cycle_loss = jnp.mean(jnp.square(A - a_hat))
@@ -220,38 +234,12 @@ def make_calib_train_step(cfg, g_fm, g_r2):
     frozen and deterministic, the heteroscedastic cycle loss is minimized
     over the per-echo calibration scale only; the weight is projected to
     ≥0 after each SGD step (keras NonNeg constraint semantics)."""
-    pm_mode = cfg["out_vars"] == "PM"
     tx_calib = make_calib_tx(cfg)
 
     def loss_fn(calib, params_fm, fm_offset, params_r2, A, te, key):
-        k1, k2 = jax.random.split(key)
-        out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1},
-                            train=False)
-        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
-        if cfg.get("learn_fm_offset"):
-            fm_mean = fm_mean + fm_offset
-        if pm_mode:
-            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
-            out_r2 = g_r2.apply({"params": params_r2}, a_abs,
-                                rngs={"bayes": k2}, train=False)
-            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
-        else:
-            r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
-        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
-        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
-                                     uniform_te=cfg.get("uniform_te", False))
-        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
-        phi = physics.Posterior(
-            fm_mean[:, 0, ..., 0],
-            jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
-            else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
-        r2s = physics.Posterior(
-            r2_mean[:, 0, ..., 0],
-            jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
-            else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
-        a_var = physics.acq_uncertainty(wf, phi, r2s, te, field=cfg["field"],
-                                        rem_r2=not pm_mode)
-        a_var = a_var * _calib_scale(calib, a_var.shape[1])
+        _, a_hat, a_var = _uq_pipeline(
+            cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
+            A, te, key, train=False)
         loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
         return loss, {"calib_loss": loss}
 
@@ -274,38 +262,12 @@ def make_calib_train_step(cfg, g_fm, g_r2):
 def eval_calibrated_nll(cfg, g_fm, g_r2):
     """Held-out heteroscedastic NLL at a given calibration — the
     calibration-quality metric used by tests and the CLI report."""
-    pm_mode = cfg["out_vars"] == "PM"
 
     @jax.jit
     def nll(state: UnsupState, A, te, key):
-        k1, k2 = jax.random.split(key)
-        out_fm = g_fm.apply({"params": state.params_fm}, A,
-                            rngs={"bayes": k1}, train=False)
-        fm_mean, fm_sigma = _as_mean_sigma(out_fm)
-        if cfg.get("learn_fm_offset"):
-            fm_mean = fm_mean + state.fm_offset
-        if pm_mode:
-            a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
-            out_r2 = g_r2.apply({"params": state.params_r2}, a_abs,
-                                rngs={"bayes": k2}, train=False)
-            r2_mean, r2_sigma = _as_mean_sigma(out_r2)
-        else:
-            r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
-        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
-        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
-                                     uniform_te=cfg.get("uniform_te", False))
-        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
-        phi = physics.Posterior(
-            fm_mean[:, 0, ..., 0],
-            jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
-            else jnp.zeros_like(fm_mean[:, 0, ..., 0]))
-        r2s = physics.Posterior(
-            r2_mean[:, 0, ..., 0],
-            jnp.square(r2_sigma[:, 0, ..., 0]) if r2_sigma is not None
-            else jnp.zeros_like(r2_mean[:, 0, ..., 0]))
-        a_var = physics.acq_uncertainty(wf, phi, r2s, te, field=cfg["field"],
-                                        rem_r2=not pm_mode)
-        a_var = a_var * _calib_scale(state.calib, a_var.shape[1])
+        _, a_hat, a_var = _uq_pipeline(
+            cfg, g_fm, g_r2, state.params_fm, state.fm_offset,
+            state.params_r2, state.calib, A, te, key, train=False)
         return var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
 
     return nll
