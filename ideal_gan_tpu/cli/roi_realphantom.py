@@ -81,11 +81,11 @@ def main(argv=None):
     for g in sorted(per_vial):
         if not per_vial[g]:
             continue
-        if np.isnan(bias[g]):
+        if cfg["map"] == "R2s":
             print(f"vial id={g:.3f}: mean R2* "
                   f"{float(np.mean(per_vial[g])):.2f} 1/s "
                   f"({len(per_vial[g])} ROIs)")
-        else:
+        elif not np.isnan(bias[g]):
             print(f"vial GT={g:.3f}: bias {bias[g]:+.4f} "
                   f"({len(per_vial[g])} ROIs)")
     out = Path(cfg["output_dir"]) / cfg["out_xlsx"]

@@ -89,6 +89,11 @@ def main(argv=None):
             calib_data = (acqs[-n_cal:], te[-n_cal:])
             acqs, maps, te = acqs[:-n_cal], maps[:-n_cal], te[:-n_cal]
     n = len(acqs)
+    if n < cfg["batch_size"]:
+        raise SystemExit(
+            f"training fold has {n} slices < batch_size "
+            f"{cfg['batch_size']}; reduce --batch_size (batches drop the "
+            "remainder, so no step would run)")
     steps_per_epoch = max(n // cfg["batch_size"], 1)
     cfg["total_steps"] = steps_per_epoch * cfg["epochs"]
 
@@ -132,10 +137,13 @@ def main(argv=None):
         if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]
                 or guard.should_stop):
             ckpt.save(ep + 1, jax.device_get(state))
-            # visual-regression sample grid (reference dumps
-            # samples_training/iter-*.png every sampling interval)
-            _save_sample(cfg, g_fm, state, acqs[:1], te[:1], maps[:1],
-                         ep + 1, key)
+            if not guard.should_stop:
+                # visual-regression sample grid (reference dumps
+                # samples_training/iter-*.png every sampling interval);
+                # skipped under preemption — a fresh jit compile would eat
+                # into the shutdown grace period
+                _save_sample(cfg, g_fm, state, acqs[:1], te[:1], maps[:1],
+                             ep + 1, key)
         if guard.should_stop:
             print(f"preempted: checkpointed epoch {ep + 1}, exiting")
             break
@@ -145,7 +153,8 @@ def main(argv=None):
     # σ-calibration stage (reference UQ_calib run, train-IDEAL-unsup.py:
     # 272,315-317): nets frozen, per-echo calibration scale trained with
     # SGD on the calibration split; held-out NLL reported before/after.
-    if cfg["UQ_calib"] and calib_data is not None:
+    if cfg["UQ_calib"] and calib_data is not None and \
+            not guard.should_stop:
         import jax.numpy as jnp
         cal_acqs, cal_te = calib_data
         calib_step = unsup.make_calib_train_step(cfg, g_fm, g_r2)
@@ -154,15 +163,26 @@ def main(argv=None):
         n_hold = min(max(len(cal_acqs) // 4, 1), len(cal_acqs) - 1)
         hold = (jnp.asarray(cal_acqs[:n_hold]), jnp.asarray(cal_te[:n_hold]))
         fit_acqs, fit_te = cal_acqs[n_hold:], cal_te[n_hold:]
+        # state is committed to the training mesh; calib batches must
+        # live on the SAME device set. Use the largest batch that the
+        # mesh divides; if even one per-device row is impossible,
+        # replicate the batch instead of sharding it.
+        n_dev = mesh.devices.size
         cal_bs = min(cfg["batch_size"], len(fit_acqs))
-        cal_mesh = data_mesh_for_batch(cal_bs)
+        if cal_bs >= n_dev:
+            cal_bs = (cal_bs // n_dev) * n_dev
+            place = lambda b: shard_batch(b, mesh)
+        else:
+            from ..parallel import replicate as _repl
+            import jax as _jax
+            place = lambda b: _jax.device_put(b, _repl(mesh))
         nll0 = float(nll_fn(state, *hold, key))
         for cep in range(cfg["epochs"]):
             for (A, te_b) in batch_iterator((fit_acqs, fit_te), cal_bs,
                                             rng):
                 key, k_step = jax.random.split(key)
                 state, cm = calib_step(
-                    state, shard_batch((A, te_b), cal_mesh), k_step)
+                    state, place((A, te_b)), k_step)
         nll1 = float(nll_fn(state, *hold, key))
         print(f"calibration: held-out NLL {nll0:.5f} → {nll1:.5f}, "
               f"calib={np.asarray(state.calib)}")

@@ -90,14 +90,14 @@ def _calib_scale(calib, ne):
 
 def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
                  A, te, key, train=True, stop_grad_r2=False,
-                 stop_grad_wf=False, with_var=True):
+                 stop_grad_fm=False, stop_grad_wf=False, with_var=True):
     """Shared forward used by the train step, the σ-calibration step and
     the held-out NLL evaluator: posterior heads → fused physics cycle →
     (optionally) propagated per-echo acquisition variance × calibration
     scale.
 
-    Returns (fm_mean, a_hat, a_var); a_hat is already masked to the
-    acquisition support; a_var is None when with_var=False."""
+    Returns (fm_mean, r2_mean, a_hat, a_var); a_hat is already masked
+    to the acquisition support; a_var is None when with_var=False."""
     pm_mode = cfg["out_vars"] == "PM"
     k1, k2 = jax.random.split(key)
     out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1},
@@ -109,6 +109,8 @@ def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
         # swap/offset ambiguity); a learnable global offset restores it —
         # trained by the same cycle loss.
         fm_mean = fm_mean + fm_offset
+    if stop_grad_fm:
+        fm_mean = jax.lax.stop_gradient(fm_mean)  # FM net frozen (R2 phase)
     if pm_mode:
         a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
         out_r2 = g_r2.apply({"params": params_r2}, a_abs,
@@ -125,7 +127,7 @@ def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
                                  uniform_te=cfg.get("uniform_te", False))
     a_hat = jnp.where(A != 0.0, a_hat, 0.0)
     if not with_var:
-        return fm_mean, a_hat, None
+        return fm_mean, r2_mean, a_hat, None
     phi = physics.Posterior(
         fm_mean[:, 0, ..., 0],
         jnp.square(fm_sigma[:, 0, ..., 0]) if fm_sigma is not None
@@ -138,14 +140,14 @@ def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
     a_var = physics.acq_uncertainty(wf_in, phi, r2s, te, field=cfg["field"],
                                     rem_r2=not pm_mode)
     a_var = a_var * _calib_scale(calib, a_var.shape[1])
-    return fm_mean, a_hat, a_var
+    return fm_mean, r2_mean, a_hat, a_var
 
 
 def make_train_step(cfg, g_fm, g_r2):
     uq = cfg["UQ"]
 
     def loss_fn(params_fm, fm_offset, params_r2, calib, A, te, key):
-        fm_mean, a_hat, a_var = _uq_pipeline(
+        fm_mean, _, a_hat, a_var = _uq_pipeline(
             cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
             A, te, key, stop_grad_r2=True, stop_grad_wf=True, with_var=uq)
         if uq:
@@ -189,19 +191,12 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
     train_G_R2, train-IDEAL-unsup.py:267-331)."""
 
     def loss_fn(params_r2, params_fm, fm_offset, A, te, key):
-        k1, k2 = jax.random.split(key)
-        out_fm = g_fm.apply({"params": params_fm}, A, rngs={"bayes": k1})
-        fm_mean, _ = _as_mean_sigma(out_fm)
-        if cfg.get("learn_fm_offset"):
-            fm_mean = fm_mean + fm_offset
-        fm_mean = jax.lax.stop_gradient(fm_mean)
-        a_abs = jnp.sqrt(jnp.sum(jnp.square(A), axis=-1, keepdims=True))
-        out_r2 = g_r2.apply({"params": params_r2}, a_abs, rngs={"bayes": k2})
-        r2_mean, _ = _as_mean_sigma(out_r2)
-        pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
-        _, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
-                                    uniform_te=cfg.get("uniform_te", False))
-        a_hat = jnp.where(A != 0.0, a_hat, 0.0)
+        # PM-mode forward with the FM net frozen; no variance needed
+        r2_cfg = cfg if cfg["out_vars"] == "PM" else dict(cfg,
+                                                          out_vars="PM")
+        _, r2_mean, a_hat, _ = _uq_pipeline(
+            r2_cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, None,
+            A, te, key, stop_grad_fm=True, with_var=False)
         loss = jnp.mean(jnp.square(A - a_hat))
         r2_tv = jnp.sum(total_variation_2d(r2_mean[:, 0])) * cfg["R2_TV_weight"]
         r2_l1 = l1_mean(r2_mean) * cfg["R2_L1_weight"]
@@ -237,7 +232,7 @@ def make_calib_train_step(cfg, g_fm, g_r2):
     tx_calib = make_calib_tx(cfg)
 
     def loss_fn(calib, params_fm, fm_offset, params_r2, A, te, key):
-        _, a_hat, a_var = _uq_pipeline(
+        _, _, a_hat, a_var = _uq_pipeline(
             cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
             A, te, key, train=False)
         loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
@@ -265,7 +260,7 @@ def eval_calibrated_nll(cfg, g_fm, g_r2):
 
     @jax.jit
     def nll(state: UnsupState, A, te, key):
-        _, a_hat, a_var = _uq_pipeline(
+        _, _, a_hat, a_var = _uq_pipeline(
             cfg, g_fm, g_r2, state.params_fm, state.fm_offset,
             state.params_r2, state.calib, A, te, key, train=False)
         return var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
