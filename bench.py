@@ -98,14 +98,18 @@ def main():
         out = fit(sb_re, sb_im, phi_d, r2s_d)
     jax.block_until_ready(out)
     dt_b = (time.perf_counter() - t0) / n_iter
+    mode = "f32"
     if pdff_dev < 3e-3 and nb / dt_b > slices_per_sec:
         slices_per_sec = nb / dt_b
+        mode = "bf16-echo"
 
     print(json.dumps({
         "metric": "ideal_map_fit_throughput_384x384_6echo",
         "value": round(slices_per_sec, 1),
         "unit": "slices/s",
         "vs_baseline": round(slices_per_sec / TARGET_SLICES_PER_SEC, 3),
+        "mode": mode,
+        "bf16_pdff_dev": round(pdff_dev, 6),
     }))
 
 

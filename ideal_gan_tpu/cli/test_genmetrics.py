@@ -101,8 +101,12 @@ def main(argv=None):
     s_pairs = np.asarray(ssim(
         jnp.asarray(gen_mag[:nb_pairs, 0, :, :, None]),
         jnp.asarray(gen_mag[nb_pairs:2 * nb_pairs, 0, :, :, None])))
+    from ..eval.metrics import feature_source
     results = {
         "FID": fid.result(),
+        # Provenance flag: "random-init" FID is relative-only — it must
+        # never be compared against literature ImageNet-feature FID.
+        "features": feature_source("vgg19"),
         "MMD": float(mmd_linear(jnp.asarray(real_mag), jnp.asarray(gen_mag))),
         "SSIM_pairs": float(np.mean(s_pairs)),
     }
@@ -112,7 +116,7 @@ def main(argv=None):
             jnp.asarray(gen_mag[nb_pairs:2 * nb_pairs, 0, :, :, None])))
         results["MS_SSIM_pairs"] = float(np.mean(msv))
     for k, v in results.items():
-        print(f"{k}: {v:.5f}")
+        print(f"{k}: {v:.5f}" if isinstance(v, float) else f"{k}: {v}")
     return results
 
 

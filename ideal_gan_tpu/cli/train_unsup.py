@@ -74,6 +74,15 @@ def main(argv=None):
         val_idx = np.arange(k * fold_sz, min((k + 1) * fold_sz, len(acqs)))
         train_idx = np.setdiff1d(np.arange(len(acqs)), val_idx)
         acqs, maps, te = acqs[train_idx], maps[train_idx], te[train_idx]
+    if cfg["UQ_calib"] and not (cfg["UQ"] or cfg["UQ_R2s"]):
+        # Without a Bayesian head the propagated variance is identically
+        # zero; var_mse floors σ² and the calib-scale gradient through the
+        # floor is zero — the stage would burn epochs training nothing
+        # (the reference calib run uses UQ=True, train-IDEAL-unsup.py:94).
+        raise SystemExit("--UQ_calib requires --UQ (or --UQ_R2s): the "
+                         "calibration stage trains a scale on the "
+                         "propagated variance, which is zero without a "
+                         "Bayesian head")
     if cfg["UQ_calib"]:
         # carve a calibration split, but never starve the training fold
         # (at least one training batch must remain) and keep ≥2 calib

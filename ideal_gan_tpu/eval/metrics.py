@@ -98,6 +98,15 @@ def load_vgg19_npz(path: str):
     return {"params": params}
 
 
+def feature_source(name: str = "vgg19") -> str:
+    """Provenance of the feature extractor weights: ``"imagenet"`` when a
+    converted artifact exists, else ``"random-init"``. Consumers MUST tag
+    metric outputs with this — random-feature FID is relative-only and
+    must never be mistaken for literature-comparable FID."""
+    return "imagenet" if weights_path(f"{name}.npz") is not None \
+        else "random-init"
+
+
 def init_vgg19(key=None, taps: Sequence[int] = _DEFAULT_TAPS):
     """VGG19 feature extractor. Loads converted ImageNet weights when a
     `weights/vgg19.npz` artifact exists (reference behavior,

@@ -169,21 +169,46 @@ def wilcoxon_paired(x, y) -> dict:
             "n": int(ok.sum())}
 
 
-def pairwise_wilcoxon(values, groups, adjust: str = "holm") -> list[dict]:
+def pairwise_wilcoxon(values, groups, adjust: str = "holm",
+                      pair_ids=None) -> list[dict]:
     """All pairwise paired Wilcoxon tests between protocol groups with
     Holm p-adjustment (rstatix ``pairwise_wilcox_test`` defaults used by
-    wilcox_test_allROI.R). Samples are paired by order within group;
-    unequal group sizes are truncated to the common length."""
+    wilcox_test_allROI.R).
+
+    Pairing: when ``pair_ids`` is given (slice/ROI key per row), samples
+    are matched on the shared ids between the two groups — the only
+    order-independent pairing. Without ids, samples are paired by row
+    order within group (rstatix's behavior on a sorted data frame); if the
+    group sizes differ, the tails are discarded and a warning reports how
+    many rows were dropped, since order-pairing is then suspect."""
     values = np.asarray(values, float)
     groups = np.asarray(groups)
+    pair_ids = None if pair_ids is None else np.asarray(pair_ids)
     uniq = list(np.unique(groups))
     rows = []
     for i in range(len(uniq)):
         for j in range(i + 1, len(uniq)):
-            a = values[groups == uniq[i]]
-            b = values[groups == uniq[j]]
-            n = min(a.size, b.size)
-            r = wilcoxon_paired(a[:n], b[:n])
+            ma, mb = groups == uniq[i], groups == uniq[j]
+            if pair_ids is not None:
+                ids_a, ids_b = pair_ids[ma], pair_ids[mb]
+                common = [pid for pid in ids_a if pid in set(ids_b)]
+                idx_a = {pid: k for k, pid in enumerate(ids_a)}
+                idx_b = {pid: k for k, pid in enumerate(ids_b)}
+                a = values[ma][[idx_a[p] for p in common]]
+                b = values[mb][[idx_b[p] for p in common]]
+            else:
+                a, b = values[ma], values[mb]
+                if a.size != b.size:
+                    import warnings
+                    warnings.warn(
+                        f"pairwise_wilcoxon: groups {uniq[i]!r} "
+                        f"({a.size}) and {uniq[j]!r} ({b.size}) differ "
+                        f"in size; order-pairing drops "
+                        f"{abs(a.size - b.size)} rows — pass pair_ids "
+                        "for a key-matched pairing", stacklevel=2)
+                n = min(a.size, b.size)
+                a, b = a[:n], b[:n]
+            r = wilcoxon_paired(a, b)
             rows.append({"group1": uniq[i], "group2": uniq[j], **r})
     if adjust == "holm" and rows:
         order = np.argsort([r["p"] for r in rows])

@@ -30,6 +30,7 @@ map cleanly.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -460,7 +461,12 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     bf16_in = s_re.dtype == jnp.bfloat16
     if bf16_in and (wdt % LANES != 0 or hgt % 16 != 0):
         # bf16 native tiling is (16, 128); shapes that can't block on it
-        # fall back to f32 inputs
+        # fall back to f32 inputs. Loud: the caller asked for the 1.18×
+        # bandwidth-saving mode and is getting f32 performance.
+        logging.getLogger(__name__).warning(
+            "fit_rho_planar: bf16 echo mode requested but shape "
+            "(H=%d, W=%d) cannot block on the (16, 128) bf16 tile — "
+            "upcasting to f32 (no bandwidth saving)", hgt, wdt)
         s_re, s_im = s_re.astype(jnp.float32), s_im.astype(jnp.float32)
         bf16_in = False
 
@@ -468,21 +474,22 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     r2s = r2s[:, None]
     kernel = functools.partial(_fit_kernel, ne, ns, fm_sc, r2_sc, rho_sc,
                                uniform)
-    if wdt % LANES == 0:
+    # Pick the H-tile for the native-(H, W) path: largest divisor of H at
+    # or under the VMEM row budget, but never below the dtype's minimum
+    # sublane tile (8 for f32; bf16 passed the %16 guard above, so 16
+    # always divides). If H has no divisor ≥ the minimum (e.g. H=12 f32),
+    # the native path can't tile it — use the lane-flattening fallback,
+    # which relayouts+pads and is correct for any shape.
+    min_th = 16 if bf16_in else 8
+    th = max(_row_tile(hgt * max(wdt // LANES, 1)) * LANES // max(wdt, 1),
+             min_th)
+    while hgt % th:
+        th //= 2
+    if wdt % LANES == 0 and th >= min_th:
         # Block straight over (H, W): flattening a (H, W) f32 array to
         # (H·W/128, 128) physically relayouts the (8, 128) tiling (a full
         # HBM copy, measured ≈40 % of fit time) — blocking the native
         # layout avoids it.
-        min_th = 16 if bf16_in else 8
-        th = _row_tile(hgt * (wdt // LANES)) * LANES // wdt
-        th = max(th, min_th)
-        while hgt % th:
-            th //= 2
-        th = max(th, min_th)
-        if hgt % th:  # bf16 min tile doesn't divide H → upcast instead
-            s_re, s_im = (s_re.astype(jnp.float32),
-                          s_im.astype(jnp.float32))
-            th = max(th // 2, 8)
 
         def hw_spec(k):
             return pl.BlockSpec((1, k, th, wdt), lambda b, i: (b, 0, i, 0),

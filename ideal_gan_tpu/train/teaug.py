@@ -179,7 +179,11 @@ def make_train_step(cfg, model, r2_model=None):
             wf_abs = model.apply({"params": params}, A,
                                  te_vec).astype(jnp.float32)
             wf_abs = jnp.transpose(wf_abs, (0, 4, 2, 3, 1))
-            wf_abs = jnp.where(B[:, :2, :, :, :1] != 0.0, wf_abs, 0.0)
+            # Support mask on the complex MAGNITUDE of the GT rows — a
+            # voxel with near-zero real part but nonzero imaginary part
+            # (phase ≈ ±90°) is inside the support and must not be zeroed
+            # against its nonzero |W|/|F| target.
+            wf_abs = jnp.where(B_wf_abs != 0.0, wf_abs, 0.0)
             sup = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
             return sup, {"PM_loss": sup, "WF_loss": sup,
                          "TV_R2": jnp.asarray(0.0),

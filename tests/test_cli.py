@@ -87,6 +87,9 @@ class TestCLIs:
             "--output_base", str(tmp_path)])
         assert np.isfinite(res["FID"])
         assert np.isfinite(res["MMD"])
+        # provenance flag must be in the OUTPUT, not just a log line —
+        # random-feature FID is never literature-comparable
+        assert res["features"] in ("imagenet", "random-init")
 
     def test_roi_realphantom(self, tmp_path):
         from ideal_gan_tpu.cli import roi_realphantom

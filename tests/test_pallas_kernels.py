@@ -4,6 +4,7 @@ on CPU; the same kernels compile natively on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu import ops as kops
@@ -181,6 +182,7 @@ class TestPhasorRecurrence:
 
 
 class TestPlanarFit:
+    @pytest.mark.smoke
     def test_matches_mebcrn_path(self):
         maps_np = make_maps()
         te = ph.te_train(6, bs=2)
@@ -214,17 +216,42 @@ class TestPlanarFit:
             np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                        atol=5e-3)
 
-    def test_bf16_unalignable_shape_falls_back(self):
-        # H not a multiple of the bf16 (16, 128) tile → silent f32 upcast
+    def test_bf16_unalignable_shape_falls_back(self, caplog):
+        # H not a multiple of the bf16 (16, 128) tile → f32 upcast with a
+        # LOGGED warning (the caller asked for the bandwidth-saving mode
+        # and must be told it isn't getting it)
+        import logging
         maps_np = make_maps(h=40, w=128)
         te = ph.te_train(6, bs=2)
         acqs = ph.synthesize(jnp.asarray(maps_np), te)
         params = jnp.asarray(maps_np[:, 2:3])
-        out = kops.fit_rho_planar(
-            acqs[..., 0].astype(jnp.bfloat16),
-            acqs[..., 1].astype(jnp.bfloat16),
-            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        with caplog.at_level(logging.WARNING,
+                             logger="ideal_gan_tpu.ops.pallas_ideal"):
+            out = kops.fit_rho_planar(
+                acqs[..., 0].astype(jnp.bfloat16),
+                acqs[..., 1].astype(jnp.bfloat16),
+                params[:, 0, ..., 0], params[:, 0, ..., 1], te)
         assert np.isfinite(np.asarray(out[0])).all()
+        assert any("bf16" in r.message and "upcast" in r.message
+                   for r in caplog.records)
+
+    def test_f32_unalignable_height_full_coverage(self):
+        # H with no divisor ≥ 8 (here 12 = 4·3) while W % 128 == 0: the
+        # native-(H, W) path can't tile it; must route through the
+        # lane-flattening fallback and still write EVERY row (the round-2
+        # fallback under-covered the last rows).
+        maps_np = make_maps(h=12, w=128)
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        ref = np.asarray(kops.fit_rho_fused(acqs, params, te))
+        rre, rim = kops.fit_rho_planar(
+            acqs[..., 0], acqs[..., 1],
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        np.testing.assert_allclose(np.asarray(rre), ref[..., 0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rim), ref[..., 1],
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestMagFitFused:

@@ -79,6 +79,7 @@ class TestRegressionTests:
         assert out["p"] == pytest.approx(ref.pvalue)
         assert out["statistic"] == pytest.approx(ref.statistic)
 
+    @pytest.mark.smoke
     def test_pairwise_wilcoxon_holm(self):
         rng = np.random.default_rng(3)
         base = rng.normal(size=20)
@@ -94,6 +95,31 @@ class TestRegressionTests:
         big = [r for r in rows if {r["group1"], r["group2"]} ==
                {"p1", "p2"}][0]
         assert big["p"] < 0.01
+
+    def test_pairwise_wilcoxon_unequal_sizes_warn(self):
+        rng = np.random.default_rng(4)
+        values = np.concatenate([rng.normal(size=20),
+                                 rng.normal(size=15) + 1.0])
+        groups = np.array(["a"] * 20 + ["b"] * 15)
+        with pytest.warns(UserWarning, match="drops 5 rows"):
+            rows = st.pairwise_wilcoxon(values, groups)
+        assert rows[0]["n"] == 15
+
+    def test_pairwise_wilcoxon_pair_ids(self):
+        # key-matched pairing must be order-independent: shuffle group b's
+        # rows and pair on the slice id, not the row order
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=20)
+        ids = np.arange(20)
+        perm = rng.permutation(20)
+        values = np.concatenate([base, (base + 1.0)[perm]])
+        groups = np.array(["a"] * 20 + ["b"] * 20)
+        pair_ids = np.concatenate([ids, ids[perm]])
+        rows = st.pairwise_wilcoxon(values, groups, pair_ids=pair_ids)
+        # every matched pair differs by exactly +1 → the test is maximally
+        # one-sided; order-pairing of the shuffled rows would not be
+        assert rows[0]["n"] == 20
+        assert rows[0]["p"] < 1e-4
 
     def test_extreme_outliers_rule(self):
         x = np.array([1.0, 2, 3, 4, 5, 100.0])

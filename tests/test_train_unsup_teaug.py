@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.parallel import data_mesh, shard_batch
@@ -36,6 +37,7 @@ class TestUnsup:
             losses.append(float(metrics["G_loss"]))
         return losses, state, (cfg, g_fm, g_r2, tx, acqs, te)
 
+    @pytest.mark.smoke
     def test_fm_mode_cycle_loss_decreases(self):
         losses, _, _ = self._run({"out_vars": "FM"}, n_steps=6)
         assert all(np.isfinite(l) for l in losses)
@@ -56,6 +58,22 @@ class TestUnsup:
         losses, _, _ = self._run({"out_vars": "PM", "UQ": True,
                                   "UQ_R2s": True}, n_steps=2)
         assert all(np.isfinite(l) for l in losses)
+
+
+class TestCalibConfigValidation:
+    def test_uq_calib_without_uq_rejected(self, tmp_path):
+        """UQ_calib with UQ=False would train against an identically-zero
+        propagated variance (σ² floored, zero gradient) — the CLI must
+        reject the config instead of burning epochs."""
+        import pytest
+
+        from ideal_gan_tpu.cli import train_unsup as cli
+        with pytest.raises(SystemExit, match="UQ_calib requires"):
+            cli.main(["--dataset", "t-badcalib", "--synthetic", "16",
+                      "--data_size", "32", "--n_G_filters", "4",
+                      "--batch_size", "4", "--epochs", "1",
+                      "--UQ_calib", "True",
+                      "--output_base", str(tmp_path)])
 
 
 class TestCalibration:
@@ -106,6 +124,7 @@ class TestCalibration:
 
 
 class TestTEAug:
+    @pytest.mark.smoke
     def test_vetnet_loss_decreases(self):
         cfg = dict(teaug.DEFAULTS)
         cfg.update(n_G_filters=4, batch_size=8, epochs=2)
