@@ -18,7 +18,9 @@ def get_activation(name) -> Callable:
         return name
     return {
         "relu": nn.relu,
-        "leaky_relu": nn.leaky_relu,
+        # the reference always reaches leaky_relu through
+        # tf.nn.leaky_relu, whose default slope is 0.2 (jax's is 0.01)
+        "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.2),
         "tanh": jnp.tanh,
         "sigmoid": nn.sigmoid,
         "gelu": nn.gelu,
@@ -34,6 +36,9 @@ class Norm(nn.Module):
 
     kind: str = "instance_norm"
     dtype: Any = jnp.float32
+    # keras 3 / tfa use ε=1e-3 for batch/instance/layer norm (flax
+    # defaults are 1e-5/1e-6) — matched for reference-weight parity
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -41,12 +46,12 @@ class Norm(nn.Module):
             return x
         if self.kind == "batch_norm":
             return nn.BatchNorm(use_running_average=not train,
-                                dtype=self.dtype)(x)
+                                epsilon=self.epsilon, dtype=self.dtype)(x)
         if self.kind == "instance_norm":
             return nn.GroupNorm(num_groups=None, group_size=1,
-                                dtype=self.dtype)(x)
+                                epsilon=self.epsilon, dtype=self.dtype)(x)
         if self.kind == "layer_norm":
-            return nn.LayerNorm(dtype=self.dtype)(x)
+            return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
         raise ValueError(f"unknown norm {self.kind!r}")
 
 
@@ -105,7 +110,7 @@ class ResidualBlock(nn.Module):
                         kernel_init=nn.initializers.he_normal(),
                         dtype=self.dtype)(h)
         h = Norm(self.norm, dtype=self.dtype)(h, train)
-        h = nn.leaky_relu(h)
+        h = nn.leaky_relu(h, 0.2)
         if self.bayes:
             h = FlipoutConv(dim, (3, 3))(h)
         else:

@@ -91,7 +91,7 @@ class CriticZ(nn.Module):
             x = nn.Conv(dim, (self.kernel, self.kernel), strides=2,
                         kernel_init=nn.initializers.he_normal(),
                         dtype=self.dtype)(x)
-            x = nn.leaky_relu(x)
+            x = nn.leaky_relu(x, 0.2)
             dim //= 4
         return x
 
@@ -117,7 +117,7 @@ class SGAN(nn.Module):
                         dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
                              dtype=self.dtype)(x)
-            x = nn.leaky_relu(x)
+            x = nn.leaky_relu(x, 0.2)
             feats.append(x)
         if self.gen_mode:
             x = nn.Conv(inputs.shape[-1], (3, 3), dtype=self.dtype)(x)

@@ -58,14 +58,14 @@ class Encoder(nn.Module):
         x = nn.Conv(filters[0], (3, 3),
                     kernel_init=nn.initializers.he_normal(),
                     dtype=self.dtype)(x)
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x, 0.2)
         for l in range(self.num_layers):
             for _ in range(self.num_res_blocks):
                 x = ResidualBlock(self.norm, dtype=self.dtype)(x, train)
             x = nn.Conv(filters[l + 1], (3, 3), strides=2,
                         kernel_init=nn.initializers.he_normal(),
                         dtype=self.dtype)(x)
-            x = nn.leaky_relu(x)
+            x = nn.leaky_relu(x, 0.2)
         if self.nl_self_attention:
             x = ResidualBlock(self.norm, dtype=self.dtype)(x, train)
             x = SelfAttention(dtype=self.dtype)(x)
@@ -116,11 +116,11 @@ class Decoder(nn.Module):
         x = nn.Conv(self.encoded_dims, (3, 3),
                     kernel_init=nn.initializers.he_normal(),
                     dtype=self.dtype)(x)
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(filters[0], (3, 3),
                     kernel_init=nn.initializers.he_normal(),
                     dtype=self.dtype)(x)
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x, 0.2)
         if self.nl_self_attention:
             x = ResidualBlock(self.norm, dtype=self.dtype)(x, train)
             x = SelfAttention(dtype=self.dtype)(x)

@@ -64,8 +64,15 @@ def build_model(cfg):
                        fm_self_attention=cfg["D3_SelfAttention"],
                        dtype=dtype)
     if cfg["G_model"] == "U-Net":
-        n_out = 4 if cfg["out_vars"] == "WF-PM" else 2
-        out_activ = "sigmoid" if cfg["out_vars"] in ("WF", "PM") else "relu"
+        # head activations exactly as the reference (train-sup.py:193-204):
+        # WFc → 4ch tanh, WF-PM → 4ch relu, WF/PM → 2ch relu (the
+        # reference shifts GT FM to [0, 1] to match the relu range)
+        if cfg["out_vars"] == "WFc":
+            n_out, out_activ = 4, "tanh"
+        elif cfg["out_vars"] == "WF-PM":
+            n_out, out_activ = 4, "relu"
+        else:
+            n_out, out_activ = 2, "relu"
         return UNet(n_out=n_out, filters=cfg["n_G_filters"],
                     output_activation=out_activ,
                     self_attention=cfg["D1_SelfAttention"], dtype=dtype)
@@ -74,9 +81,11 @@ def build_model(cfg):
         "'MEBCRN' option is dead code — dl.MEBCRN does not exist)")
 
 
-def make_train_step(cfg, model):
-    """Build the jitted train step (reference train_G,
-    train-sup.py:239-361)."""
+def make_loss_fn(cfg, model):
+    """The supervised loss (reference train_G, train-sup.py:239-361) as a
+    standalone `loss_fn(params, A, B, te, key) -> (loss, metrics)` —
+    shared by the train step and the trainer-parity harness
+    (tools/model_parity.py)."""
     out_vars = cfg["out_vars"]
     default_te = not (cfg["TE1"] != 0.0013 and cfg["dTE"] != 0.0021)
     unet_like = cfg["G_model"] in ("U-Net", "MEBCRN")
@@ -160,6 +169,13 @@ def make_train_step(cfg, model):
                            L1_FM=fm_l1)
         return sup_loss + reg, metrics
 
+    return loss_fn
+
+
+def make_train_step(cfg, model):
+    """Build the jitted train step (reference train_G,
+    train-sup.py:239-361)."""
+    loss_fn = make_loss_fn(cfg, model)
     total_steps = cfg.get("total_steps", cfg["epochs"])
     schedule = linear_decay_schedule(
         cfg["lr"], total_steps,
