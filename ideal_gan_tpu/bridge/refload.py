@@ -1,0 +1,201 @@
+"""Load the reference's Keras model zoo without its heavyweight deps.
+
+The reference `DLlib` package (jpmeneses/IDEAL-GAN) imports
+`tensorflow_addons` and `tensorflow_probability` at module scope, and its
+`DLlib/__init__.py` imports `DLlib.metrics`, which downloads ImageNet
+weights at import time. Neither tfa/tfp nor network egress is available
+in a minimal conversion environment, so this module provides:
+
+- `install_tf_shims()`: registers minimal `tensorflow_addons` /
+  `tensorflow_probability` stand-ins (only the symbols the reference's
+  model-building code touches) when the real packages are absent. The
+  tfa shims delegate to Keras-3 built-ins with identical semantics:
+  `InstanceNormalization` → `keras.layers.GroupNormalization(groups=-1)`
+  (per-channel groups, ε=1e-3 — tfa's defaults), `SpectralNormalization`
+  → `keras.layers.SpectralNormalization`.
+- `load_reference_dlmodule(ref_root)`: imports `DLlib.module` (and its
+  `bn` / `complex_utils` / `attention` siblings) directly, *bypassing*
+  `DLlib/__init__.py` so `DLlib.metrics` never runs.
+
+With a full reference installation (tfa + tfp + egress) none of this is
+needed — build the Keras model normally and pass it to the converters.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+
+def _make_tfa_shim():
+    import keras
+
+    class InstanceNormalization(keras.layers.GroupNormalization):
+        """tfa.layers.InstanceNormalization ≡ GroupNormalization with one
+        channel per group; tfa and keras 3 share the ε=1e-3 default."""
+
+        def __init__(self, **kwargs):
+            kwargs.setdefault("groups", -1)
+            super().__init__(**kwargs)
+
+    tfa = types.ModuleType("tensorflow_addons")
+    tfa.layers = types.ModuleType("tensorflow_addons.layers")
+    tfa.layers.InstanceNormalization = InstanceNormalization
+    tfa.layers.SpectralNormalization = keras.layers.SpectralNormalization
+    tfa.__shim__ = True
+    return tfa
+
+
+def _make_tfp_shim():
+    """The bare minimum for `DLlib.module` to IMPORT (its Rician class
+    subclasses tfd.Distribution at class-creation time) and to build the
+    non-Bayesian architectures. Bayesian layers raise if actually used."""
+
+    def _unavailable(name):
+        def _raise(*a, **k):
+            raise NotImplementedError(
+                f"tensorflow_probability shim: {name} requires the real "
+                "tfp package (only non-Bayesian reference models can be "
+                "built with the shim)")
+        return _raise
+
+    class Distribution:
+        def __init__(self, *args, **kwargs):
+            pass
+
+    tfp = types.ModuleType("tensorflow_probability")
+    tfp.distributions = types.ModuleType(
+        "tensorflow_probability.distributions")
+    tfp.distributions.Distribution = Distribution
+    tfp.distributions.NOT_REPARAMETERIZED = "NOT_REPARAMETERIZED"
+    tfp.distributions.FULLY_REPARAMETERIZED = "FULLY_REPARAMETERIZED"
+    for name in ("Normal", "Independent", "kl_divergence"):
+        setattr(tfp.distributions, name, _unavailable(f"distributions.{name}"))
+    tfp.bijectors = types.ModuleType("tensorflow_probability.bijectors")
+    tfp.layers = types.ModuleType("tensorflow_probability.layers")
+    for name in ("DistributionLambda", "IndependentNormal",
+                 "KLDivergenceRegularizer", "Convolution2DFlipout"):
+        setattr(tfp.layers, name, _unavailable(f"layers.{name}"))
+    tfp.__shim__ = True
+    return tfp
+
+
+def install_tf_shims() -> None:
+    """Register tfa/tfp shims in sys.modules when the real ones are
+    missing. Idempotent; never shadows a real installation."""
+    try:
+        importlib.import_module("tensorflow_addons")
+    except ImportError:
+        sys.modules["tensorflow_addons"] = _make_tfa_shim()
+    try:
+        importlib.import_module("tensorflow_probability")
+    except ImportError:
+        tfp = _make_tfp_shim()
+        sys.modules["tensorflow_probability"] = tfp
+        sys.modules["tensorflow_probability.distributions"] = \
+            tfp.distributions
+        sys.modules["tensorflow_probability.layers"] = tfp.layers
+
+
+def _keras3_tf_proxy():
+    """The reference was written for TF2/Keras-2, where raw `tf.*` calls
+    on symbolic tensors were legal inside functional-model construction
+    (e.g. AdaIN's `tf.nn.moments`, PatchGAN's inline `tf.nn.leaky_relu`).
+    Keras 3 rejects tf functions on KerasTensors, so this proxy stands in
+    for the `tf` module global of the loaded reference modules: any op
+    that may receive a KerasTensor at build time is routed through
+    `keras.ops` (identical math); everything else delegates to real tf."""
+    import keras
+    import tensorflow as tf
+    from keras import ops as K
+
+    def _sym(x):
+        return isinstance(
+            x, keras.src.backend.common.keras_tensor.KerasTensor)
+
+    class _NNProxy:
+        def __getattr__(self, name):
+            return getattr(tf.nn, name)
+
+        @staticmethod
+        def leaky_relu(x, alpha=0.2):
+            if _sym(x):
+                return K.leaky_relu(x, negative_slope=alpha)
+            return tf.nn.leaky_relu(x, alpha=alpha)
+
+        @staticmethod
+        def moments(x, axes, keepdims=False, **kw):
+            if _sym(x):
+                return K.moments(x, axes, keepdims=keepdims)
+            return tf.nn.moments(x, axes, keepdims=keepdims, **kw)
+
+        @staticmethod
+        def batch_normalization(x, mean, variance, offset, scale,
+                                variance_epsilon):
+            if _sym(x) or _sym(mean) or _sym(scale):
+                out = (x - mean) / K.sqrt(variance + variance_epsilon)
+                if scale is not None:
+                    out = out * scale
+                if offset is not None:
+                    out = out + offset
+                return out
+            return tf.nn.batch_normalization(x, mean, variance, offset,
+                                             scale, variance_epsilon)
+
+    class _TFProxy:
+        nn = _NNProxy()
+
+        def __getattr__(self, name):
+            return getattr(tf, name)
+
+        @staticmethod
+        def reshape(x, shape, **kw):
+            return K.reshape(x, shape) if _sym(x) else tf.reshape(
+                x, shape, **kw)
+
+        @staticmethod
+        def sqrt(x):
+            return K.sqrt(x) if _sym(x) else tf.sqrt(x)
+
+        @staticmethod
+        def expand_dims(x, axis=None, **kw):
+            return K.expand_dims(x, axis) if _sym(x) else tf.expand_dims(
+                x, axis, **kw)
+
+        @staticmethod
+        def square(x):
+            return K.square(x) if _sym(x) else tf.square(x)
+
+        @staticmethod
+        def concat(xs, axis, **kw):
+            if any(_sym(x) for x in xs):
+                return K.concatenate(xs, axis)
+            return tf.concat(xs, axis, **kw)
+
+    return _TFProxy()
+
+
+def load_reference_dlmodule(ref_root: str = "/root/reference"):
+    """Import the reference `DLlib.module` without executing
+    `DLlib/__init__.py` (which would import DLlib.metrics and download
+    ImageNet weights). Returns the module object. The loaded modules'
+    `tf` global is swapped for a Keras-3 compatibility proxy (see
+    `_keras3_tf_proxy`)."""
+    install_tf_shims()
+    ref_root = os.path.abspath(ref_root)
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)  # wflib import inside DLlib.module
+    if "DLlib" not in sys.modules:
+        pkg = types.ModuleType("DLlib")
+        pkg.__path__ = [os.path.join(ref_root, "DLlib")]
+        pkg.__package__ = "DLlib"
+        sys.modules["DLlib"] = pkg
+    mod = importlib.import_module("DLlib.module")
+    proxy = _keras3_tf_proxy()
+    for name in ("DLlib.module", "DLlib.attention"):
+        if name in sys.modules and getattr(sys.modules[name], "tf",
+                                           None) is not proxy:
+            sys.modules[name].tf = proxy
+    return mod
