@@ -122,9 +122,16 @@ def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
         r2_mean, r2_sigma = jnp.zeros_like(fm_mean), None
     pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
     # uniform_te engages the phasor-recurrence kernel inside jit (traced
-    # TE arrays defeat the auto-detection); protocol trains are uniform
-    wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
-                                 uniform_te=cfg.get("uniform_te", False))
+    # TE arrays defeat the auto-detection); protocol trains are uniform.
+    # fused_physics=False routes through the pure-XLA cycle — used by the
+    # benchmark harness to quantify what the fused kernel buys in
+    # training (benchmarks/train_step_time.py; docs/DESIGN.md).
+    if cfg.get("fused_physics", True):
+        wf, a_hat = cycle_full_fused(A, pm, te, cfg["field"],
+                                     uniform_te=cfg.get("uniform_te",
+                                                        False))
+    else:
+        wf, a_hat = physics.cycle_full(A, pm, te, cfg["field"])
     a_hat = jnp.where(A != 0.0, a_hat, 0.0)
     if not with_var:
         return fm_mean, r2_mean, a_hat, None
@@ -143,7 +150,11 @@ def _uq_pipeline(cfg, g_fm, g_r2, params_fm, fm_offset, params_r2, calib,
     return fm_mean, r2_mean, a_hat, a_var
 
 
-def make_train_step(cfg, g_fm, g_r2):
+def make_loss_fn(cfg, g_fm, g_r2):
+    """The unsupervised cycle loss (reference train_G,
+    train-IDEAL-unsup.py:196-265) as a standalone
+    `loss_fn(params_fm, fm_offset, params_r2, calib, A, te, key)` —
+    shared by the train step and tools/model_parity.py."""
     uq = cfg["UQ"]
 
     def loss_fn(params_fm, fm_offset, params_r2, calib, A, te, key):
@@ -162,6 +173,11 @@ def make_train_step(cfg, g_fm, g_r2):
                    "L1_FM": fm_l1, "G_loss": loss}
         return loss, metrics
 
+    return loss_fn
+
+
+def make_train_step(cfg, g_fm, g_r2):
+    loss_fn = make_loss_fn(cfg, g_fm, g_r2)
     total_steps = cfg.get("total_steps", cfg["epochs"])
     schedule = linear_decay_schedule(
         cfg["lr"], total_steps,

@@ -1,0 +1,258 @@
+"""Trainer-level parity harness vs the TF reference: identical weights +
+identical batch ⇒ identical loss AND per-parameter gradients.
+
+Closes the last unverified parity axis (operator parity:
+tests/test_parity_reference.py; physics e2e: tools/phantom_parity.py;
+forward-pass parity: tests/test_keras_bridge.py). Here the full train-step
+computation is compared:
+
+- **sup / WF**: reference train_G (train-sup.py:239-276) — U-Net on the
+  legacy interleaved layout, magnitude-support masking, MAE loss.
+- **unsup / FM**: reference train_G (train-IDEAL-unsup.py:196-265) —
+  ME-UNet field map → `wflib.acq_to_acq` cycle → masked MSE (+TV/L1
+  regs). The Flax side runs the production path through the fused Pallas
+  cycle kernel and its custom_vjp, so this also validates the fused
+  backward against TF end-to-end gradients.
+
+Gradient comparison mechanics: TF grads (tape.gradient over
+trainable_variables) are assigned back INTO the Keras model's variables,
+and the model is re-converted with the same weight bridge — linear layout
+transforms (conv-transpose swap+flip, LSTM gate slicing) map gradients
+exactly like weights, yielding the TF gradient in the Flax param tree for
+leaf-by-leaf comparison.
+
+Run as a script to (re)generate MODEL_PARITY.json at the repo root:
+
+    python tools/model_parity.py
+
+`tests/test_trainer_parity.py` asserts the same bounds (skipped without
+TF / the reference checkout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# eager TF math + numerical comparisons: force CPU before any jax use
+# (the sitecustomize-pinned axon backend rejects eager complex ops)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+LOSS_TOL = 2e-5       # |loss_tf − loss_flax| / max(|loss|, 1)
+GRAD_TOL = 5e-3       # per-leaf max|Δg| / (global max|g| scale)
+
+
+def _force_cpu():
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def _tf_grads_as_pytree(keras_model, grads, convert_fn, flax_module,
+                        *example):
+    """Assign TF gradients into the Keras variables and re-run the weight
+    bridge — returns the TF gradient in the Flax param-tree layout.
+    (Destroys the Keras model's weights; call last.)"""
+    import tensorflow as tf
+    gmap = {id(v): g for v, g in
+            zip(keras_model.trainable_variables, grads)}
+    for v in keras_model.weights:
+        g = gmap.get(id(v))
+        v.assign(tf.zeros_like(v) if g is None else g)
+    return convert_fn(keras_model, flax_module, *example)
+
+
+def _grad_compare(flax_grads, tf_grads_tree, skip_paths=()):
+    """Max per-leaf |Δg| normalized by the global gradient scale."""
+    import flax
+    a = flax.traverse_util.flatten_dict(flax_grads)
+    b = flax.traverse_util.flatten_dict(tf_grads_tree)
+    b = {k[1:] if k and k[0] == "params" else k: v for k, v in b.items()}
+    assert set(a) == set(b), (set(a) ^ set(b))
+    scale = max(float(np.abs(np.asarray(v)).max()) for v in a.values())
+    scale = max(scale, 1e-12)
+    worst, worst_path = 0.0, None
+    for k in a:
+        if any(s in "/".join(k) for s in skip_paths):
+            continue
+        d = float(np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()) / scale
+        if d > worst:
+            worst, worst_path = d, "/".join(k)
+    return worst, worst_path, scale
+
+
+# --------------------------------------------------------------------------
+# sup / WF
+# --------------------------------------------------------------------------
+
+def sup_parity(h=32, nb=2, filters=8, seed=0):
+    """One supervised WF step: loss + grads, TF reference vs Flax."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.bridge import convert_unet, load_reference_dlmodule
+    from ideal_gan_tpu.data import layouts
+    from ideal_gan_tpu.train import sup
+
+    ref = load_reference_dlmodule(str(REPO.parent / "reference"))
+    rng = np.random.default_rng(seed)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    maps[:, :2] *= (rng.random((nb, 1, h, h, 1)) > 0.2)  # support holes
+    te = np.asarray(ph.te_train(6, bs=nb))
+    A = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps),
+                                          jnp.asarray(te)))
+
+    cfg = dict(sup.DEFAULTS, G_model="U-Net", out_vars="WF",
+               n_G_filters=filters, batch_size=nb, sigma_noise=0.0,
+               D1_SelfAttention=False, epochs=1)
+    fmodel = sup.build_model(cfg)
+    kmodel = ref.UNet((h, h, 12), n_out=2, filters=filters,
+                      output_activation="relu", self_attention=False)
+
+    A_leg = np.asarray(layouts.acqs_from_mebcrn(jnp.asarray(A)))
+    B_leg = np.asarray(layouts.maps_from_mebcrn(jnp.asarray(maps)))
+    params = convert_unet(kmodel, fmodel, jnp.asarray(A_leg))
+
+    # --- TF loss/grads (train-sup.py:249-276, WF branch) ---------------
+    B_WF = B_leg[..., :4]
+    B_WF_abs = np.abs(B_WF[..., 0::2] + 1j * B_WF[..., 1::2])
+    a_tf = tf.constant(A_leg)
+    with tf.GradientTape() as t:
+        out = kmodel(a_tf, training=True)
+        A2B_WF_abs = tf.where(B_leg[..., :2] != 0.0, out, 0.0)
+        sup_loss = tf.reduce_mean(tf.abs(B_WF_abs - A2B_WF_abs))
+    tf_grads = t.gradient(sup_loss, kmodel.trainable_variables)
+
+    # --- Flax loss/grads (the production loss_fn) ----------------------
+    loss_fn = sup.make_loss_fn(cfg, fmodel)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params["params"], jnp.asarray(A), jnp.asarray(maps),
+        jnp.asarray(te), jax.random.PRNGKey(0))
+
+    tf_tree = _tf_grads_as_pytree(kmodel, tf_grads, convert_unet, fmodel,
+                                  jnp.asarray(A_leg))
+    loss_diff = abs(float(sup_loss) - float(loss)) / max(
+        abs(float(sup_loss)), 1.0)
+    gmax, gpath, gscale = _grad_compare(grads, tf_tree)
+    return {"loss_tf": float(sup_loss), "loss_flax": float(loss),
+            "loss_rel_diff": loss_diff, "grad_max_rel": gmax,
+            "grad_worst_leaf": gpath, "grad_scale": gscale}
+
+
+# --------------------------------------------------------------------------
+# unsup / FM
+# --------------------------------------------------------------------------
+
+def unsup_parity(h=32, nb=2, filters=8, seed=1, fm_tv_weight=1e-5,
+                 fm_l1_weight=1e-4):
+    """One unsupervised FM cycle step: loss + grads, TF reference
+    (wflib.acq_to_acq) vs the Flax fused-Pallas cycle."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.bridge import convert_unet, load_reference_dlmodule
+    from ideal_gan_tpu.train import unsup
+
+    ref = load_reference_dlmodule(str(REPO.parent / "reference"))
+    import wflib as wf
+
+    rng = np.random.default_rng(seed)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    te = np.asarray(ph.te_train(6, bs=nb))
+    A = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps),
+                                          jnp.asarray(te)))
+    A = A * (rng.random((nb, 1, h, h, 1)) > 0.1)  # support holes
+
+    cfg = dict(unsup.DEFAULTS, n_G_filters=filters, batch_size=nb,
+               out_vars="FM", UQ=False, epochs=1,
+               FM_TV_weight=fm_tv_weight, FM_L1_weight=fm_l1_weight)
+    g_fm, g_r2 = unsup.build_models(cfg)
+    kmodel = ref.UNet((None, h, h, 2), ME_layer=True, filters=filters,
+                      self_attention=cfg["D1_SelfAttention"])
+
+    params_fm = convert_unet(kmodel, g_fm, jnp.asarray(A))
+    params_r2 = g_r2.init(jax.random.PRNGKey(3),
+                          jnp.asarray(np.abs(A[..., :1])))["params"]
+
+    # --- TF loss/grads (train-IDEAL-unsup.py:196-251, FM branch) -------
+    a_tf = tf.constant(A)
+    with tf.GradientTape() as t:
+        A2B_FM = kmodel(a_tf, training=True)
+        A2B_R2 = tf.zeros_like(A2B_FM)
+        A2B_PM = tf.concat([A2B_FM, A2B_R2], axis=-1)
+        # note: this wflib's acq_to_acq returns ONE tensor (the recon);
+        # train-IDEAL-unsup.py:216 unpacks two values — version skew in
+        # the reference itself. The intended recon is the full return.
+        A2B2A = wf.acq_to_acq(a_tf, A2B_PM, field=cfg["field"])
+        A2B2A = tf.where(a_tf[:, :A2B2A.shape[1]] != 0.0, A2B2A, 0.0)
+        cycle = tf.reduce_mean(tf.square(a_tf - A2B2A))
+        fm_tv = tf.reduce_sum(tf.image.total_variation(A2B_FM[:, 0]))
+        fm_l1 = tf.reduce_sum(tf.reduce_mean(tf.abs(A2B_FM),
+                                             axis=(1, 2, 3, 4)))
+        loss_tf = cycle + fm_tv * cfg["FM_TV_weight"] \
+            + fm_l1 * cfg["FM_L1_weight"]
+    tf_grads = t.gradient(loss_tf, kmodel.trainable_variables)
+
+    # --- Flax loss/grads (production path: fused cycle + custom_vjp) ---
+    loss_fn = unsup.make_loss_fn(cfg, g_fm, g_r2)
+    calib = jnp.ones((cfg["n_echoes"],), jnp.float32)
+    fm_off = jnp.zeros((), jnp.float32)
+
+    def flax_loss(p):
+        loss, m = loss_fn(p, fm_off, params_r2, calib, jnp.asarray(A),
+                          jnp.asarray(te), jax.random.PRNGKey(0))
+        return loss, m
+
+    (loss, _), grads = jax.value_and_grad(flax_loss, has_aux=True)(
+        params_fm["params"])
+
+    tf_tree = _tf_grads_as_pytree(kmodel, tf_grads, convert_unet, g_fm,
+                                  jnp.asarray(A))
+    loss_diff = abs(float(loss_tf) - float(loss)) / max(
+        abs(float(loss_tf)), 1.0)
+    gmax, gpath, gscale = _grad_compare(grads, tf_tree)
+    return {"loss_tf": float(loss_tf), "loss_flax": float(loss),
+            "loss_rel_diff": loss_diff, "grad_max_rel": gmax,
+            "grad_worst_leaf": gpath, "grad_scale": gscale}
+
+
+def main():
+    _force_cpu()
+    results = {"sup_WF": sup_parity(), "unsup_FM": unsup_parity(),
+               "tolerances": {"loss_rel": LOSS_TOL, "grad_rel": GRAD_TOL}}
+    ok = True
+    for name in ("sup_WF", "unsup_FM"):
+        r = results[name]
+        passed = (r["loss_rel_diff"] < LOSS_TOL
+                  and r["grad_max_rel"] < GRAD_TOL)
+        ok &= passed
+        print(f"{name}: loss tf={r['loss_tf']:.6f} "
+              f"flax={r['loss_flax']:.6f} (Δrel={r['loss_rel_diff']:.2e}) "
+              f"grad max Δrel={r['grad_max_rel']:.2e} "
+              f"@ {r['grad_worst_leaf']} → "
+              f"{'PASS' if passed else 'FAIL'}")
+    results["pass"] = bool(ok)
+    out = REPO / "MODEL_PARITY.json"
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(f"wrote {out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
