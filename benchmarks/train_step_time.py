@@ -1,11 +1,24 @@
-"""Train-step wall-time benchmark (SURVEY §7 benchmark harness).
+"""Train-step wall-time + MFU benchmark (SURVEY §7 benchmark harness).
 
-Times one full jitted training step (fwd + bwd + optimizer) for the main
-trainers on synthetic data, plus the bare physics-cycle kernel
-(fwd + bwd) in its fused-Pallas and pure-XLA variants. Run on TPU:
+Times one full jitted training step (fwd + bwd + optimizer) for ALL seven
+trainer families on synthetic data at each trainer's REFERENCE default
+width (sup/teaug 72 filters — train-sup.py:32 / train-IDEAL-TEaug.py:34;
+unsup 32 — train-IDEAL-unsup.py:34; mag/single 36 — train-IDEAL-mag.py:56
+/ train-IDEAL-single.py:26), plus the bare physics-cycle kernel (fwd+bwd)
+fused-Pallas vs pure-XLA, and the unsup step with the fused vs pure-XLA
+physics path (the training-path value of the fused kernel).
 
-    python benchmarks/train_step_time.py [--size 384] [--batch 8] \
-        [--json BENCH_train_r02.json]
+Each row carries analytic FLOPs (XLA ``cost_analysis`` of the compiled
+step), achieved TFLOP/s, and MFU against the chip's bf16 peak
+(v5e: 197 TFLOP/s). f32 rows use the same bf16 peak as denominator —
+the number answers "how far from the hardware's best case is this step",
+deliberately not flattering f32 with a lower peak.
+
+Run on TPU (full matrix ≈ 40–60 min of tunnel compiles; use --trainers
+to subset):
+
+    python benchmarks/train_step_time.py --size 384 --batch 8 \
+        --json BENCH_train_r03.json [--trainers sup,unsup,...]
 """
 
 import argparse
@@ -17,15 +30,48 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# reference per-trainer default widths (see module docstring)
+REF_WIDTHS = {"sup": 72, "teaug": 72, "unsup": 32, "mag": 36, "single": 36}
+
+PEAK_BF16 = {  # per-chip bf16 peak FLOP/s
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", str(device))
+    for k, v in PEAK_BF16.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return None
+
+
+def _flops_of(jitted, *args) -> float | None:
+    """Analytic FLOPs of the compiled computation (XLA cost analysis)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--filters", type=int, default=36)
+    ap.add_argument("--filters", type=int, default=0,
+                    help="0 = each trainer's reference width (default)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trainers", default="cycle,sup,unsup,teaug,mag,"
+                    "single,gan,ldm")
     ap.add_argument("--json", default="", help="write results to this file")
     args = ap.parse_args()
+    selected = set(args.trainers.split(","))
     results = []
 
     import jax
@@ -34,7 +80,14 @@ def main():
     import jax.numpy as jnp
 
     from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.train import mag as mag_tr
+    from ideal_gan_tpu.train import single as single_tr
     from ideal_gan_tpu.train import sup, teaug, unsup
+
+    peak = _peak_flops(jax.devices()[0])
+
+    def width(trainer):
+        return args.filters or REF_WIDTHS.get(trainer, 36)
 
     nb, h = args.batch, args.size
     rng = np.random.default_rng(0)
@@ -44,9 +97,28 @@ def main():
                                              jnp.asarray(te)))
     key = jax.random.PRNGKey(0)
 
-    def bench(name, step_fn, state, batch):
+    def record(name, dt, batch_n, flops, extra=None):
+        row = {"name": name, "ms_per_step": dt * 1e3,
+               "slices_per_s": batch_n / dt, "batch": batch_n, "size": h}
+        if flops:
+            row["flops_per_step"] = flops
+            row["achieved_tflops"] = flops / dt / 1e12
+            if peak:
+                row["mfu_vs_bf16_peak"] = flops / dt / peak
+        if extra:
+            row.update(extra)
+        results.append(row)
+        mfu = row.get("mfu_vs_bf16_peak")
+        print(f"{name:18s}: {dt * 1e3:8.2f} ms/step "
+              f"({batch_n / dt:7.1f} slices/s)"
+              + (f"  {row['achieved_tflops']:6.2f} TF/s"
+                 f"  MFU {mfu * 100:5.1f}%" if mfu is not None else ""))
+
+    def bench(name, step_fn, state, batch, batch_n=None, extra=None):
+        batch_n = batch_n or nb
         state, m = step_fn(state, batch, key)  # compile
         jax.block_until_ready(m["G_loss"])
+        flops = _flops_of(step_fn, state, batch, key)
         # pipelined timing (block once at the end): cross-checked against
         # per-iteration sync — the difference is a constant ~30 ms of
         # host-sync tunnel overhead per step, not device time
@@ -55,133 +127,169 @@ def main():
             state, m = step_fn(state, batch, key)
         jax.block_until_ready(m["G_loss"])
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
-              f"({nb / dt:7.1f} slices/s)")
-        results.append({"name": name, "ms_per_step": dt * 1e3,
-                        "slices_per_s": nb / dt, "batch": nb,
-                        "size": h, "filters": args.filters})
+        record(name, dt, batch_n, flops, extra)
 
     # --- bare cycle kernel, fwd+bwd: fused Pallas vs pure XLA ----------
-    from ideal_gan_tpu.ops import cycle_full_fused
-    from ideal_gan_tpu.physics import cycle_full
+    if "cycle" in selected:
+        from ideal_gan_tpu.ops import cycle_full_fused
+        from ideal_gan_tpu.physics import cycle_full
 
-    pm = jnp.asarray(maps[:, 2:3])
-    a_j, te_j = jnp.asarray(acqs), jnp.asarray(te)
+        pm = jnp.asarray(maps[:, 2:3])
+        a_j, te_j = jnp.asarray(acqs), jnp.asarray(te)
 
-    def _cycle_loss(fn, uniform):
-        def loss(p, a, t):
-            kw = {"uniform_te": True} if uniform else {}
-            _, a_hat = fn(a, p, t, **kw)
-            return jnp.mean(jnp.square(a - a_hat))
-        return jax.jit(jax.value_and_grad(loss))
+        def _cycle_loss(fn, uniform):
+            def loss(p, a, t):
+                kw = {"uniform_te": True} if uniform else {}
+                _, a_hat = fn(a, p, t, **kw)
+                return jnp.mean(jnp.square(a - a_hat))
+            return jax.jit(jax.value_and_grad(loss))
 
-    for name, fn, uniform in (("cycle fused", cycle_full_fused, True),
-                              ("cycle XLA", cycle_full, False)):
-        g = _cycle_loss(fn, uniform)
-        l, _ = g(pm, a_j, te_j)
-        jax.block_until_ready(l)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            l, gr = g(pm, a_j, te_j)
-        jax.block_until_ready(l)
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
-              f"({nb / dt:7.1f} slices/s) [fwd+bwd]")
-        results.append({"name": name, "ms_per_step": dt * 1e3,
-                        "slices_per_s": nb / dt, "batch": nb, "size": h,
-                        "note": "cycle kernel fwd+bwd only"})
-
-    for bf16 in (False, True):
-        cfg = dict(sup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-                   epochs=1, out_vars="PM", bf16=bf16)
-        model = sup.build_model(cfg)
-        step, tx = sup.make_train_step(cfg, model)
-        state = sup.init_state(cfg, model, tx, key, acqs[:1])
-        bench("sup (PM)" + (" bf16" if bf16 else ""), step, state,
-              (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)))
-
-    for bf16 in (False, True):
-        ucfg = dict(unsup.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-                    epochs=1, bf16=bf16)
-        g_fm, g_r2 = unsup.build_models(ucfg)
-        step, tx = unsup.make_train_step(ucfg, g_fm, g_r2)
-        state = unsup.init_state(ucfg, g_fm, g_r2, tx, key, acqs[:1])
-        bench("unsup (FM)" + (" bf16" if bf16 else ""), step, state,
-              (jnp.asarray(acqs), jnp.asarray(te)))
-
-    for bf16 in (False, True):
-        tcfg = dict(teaug.DEFAULTS, n_G_filters=args.filters, batch_size=nb,
-                    epochs=1, bf16=bf16)
-        model = teaug.build_model(tcfg)
-        step, tx = teaug.make_train_step(tcfg, model)
-        state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
-        bench("teaug (VET)" + (" bf16" if bf16 else ""), step, state,
-              (jnp.asarray(maps), jnp.asarray(te)))
-
-    # --- PI-VAE GAN g+d steps (adversarial path) -----------------------
-    from ideal_gan_tpu.train import gan as gan_tr
-    ff = rng.uniform(0, 0.6, (nb, h, h)).astype(np.float32)
-    pd = rng.uniform(0.3, 0.9, (nb, h, h)).astype(np.float32)
-    zeros = np.zeros_like(ff)
-    b_mag = np.stack([
-        np.stack([ff, zeros], -1),
-        np.stack([pd, rng.uniform(0, .4, (nb, h, h)).astype(np.float32)],
-                 -1),
-        np.stack([rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32),
-                  rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32)],
-                 -1)], 1).astype(np.float32)
-    A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
-                                                  jnp.asarray(te)))
-    # The PI-VAE trains at batch 1–4 in the reference; at 384² the f32
-    # g-step backward OOMs one v5e chip at batch 8 (XLA pads the
-    # 12-channel decoder temporaries ~10×), so the GAN rows run at 2.
-    gb = min(nb, 2)
-    for bf16 in (False, True):
-        gcfg = dict(gan_tr.DEFAULTS, batch_size=gb, epochs=1,
-                    adv_train=True, A_loss="pix-wise", bf16=bf16)
-        name = "gan (g+d)" + (" bf16" if bf16 else "")
-        try:
-            gmodels = gan_tr.build_models(gcfg)
-            g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
-            gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key,
-                                       A_mag[:1])
-            gbatch = (jnp.asarray(A_mag[:gb]), jnp.asarray(b_mag[:gb]),
-                      jnp.asarray(te[:gb]))
-            gstate, gm, fake = g_step(gstate, gbatch, key)
-            gstate, dm_ = d_step(gstate, gbatch[0], fake)
-            jax.block_until_ready(dm_["D_loss"])
+        for name, fn, uniform in (("cycle fused", cycle_full_fused, True),
+                                  ("cycle XLA", cycle_full, False)):
+            g = _cycle_loss(fn, uniform)
+            l, _ = g(pm, a_j, te_j)
+            jax.block_until_ready(l)
+            flops = _flops_of(g, pm, a_j, te_j)
             t0 = time.perf_counter()
             for _ in range(args.iters):
+                l, gr = g(pm, a_j, te_j)
+            jax.block_until_ready(l)
+            dt = (time.perf_counter() - t0) / args.iters
+            record(name, dt, nb, flops,
+                   {"note": "cycle kernel fwd+bwd only"})
+
+    if "sup" in selected:
+        for bf16 in (False, True):
+            cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"), batch_size=nb,
+                       epochs=1, out_vars="PM", bf16=bf16)
+            model = sup.build_model(cfg)
+            step, tx = sup.make_train_step(cfg, model)
+            state = sup.init_state(cfg, model, tx, key, acqs[:1])
+            bench("sup (PM)" + (" bf16" if bf16 else ""), step, state,
+                  (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)),
+                  extra={"filters": width("sup")})
+
+    if "unsup" in selected:
+        for bf16, fused in ((False, True), (True, True), (False, False)):
+            ucfg = dict(unsup.DEFAULTS, n_G_filters=width("unsup"),
+                        batch_size=nb, epochs=1, bf16=bf16,
+                        fused_physics=fused)
+            g_fm, g_r2 = unsup.build_models(ucfg)
+            step, tx = unsup.make_train_step(ucfg, g_fm, g_r2)
+            state = unsup.init_state(ucfg, g_fm, g_r2, tx, key, acqs[:1])
+            name = "unsup (FM)" + (" bf16" if bf16 else "") + \
+                ("" if fused else " XLA-phys")
+            bench(name, step, state, (jnp.asarray(acqs), jnp.asarray(te)),
+                  extra={"filters": width("unsup"),
+                         "fused_physics": fused})
+
+    if "teaug" in selected:
+        for bf16 in (False, True):
+            tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
+                        batch_size=nb, epochs=1, bf16=bf16)
+            model = teaug.build_model(tcfg)
+            step, tx = teaug.make_train_step(tcfg, model)
+            state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+            bench("teaug (VET)" + (" bf16" if bf16 else ""), step, state,
+                  (jnp.asarray(maps), jnp.asarray(te)),
+                  extra={"filters": width("teaug")})
+
+    if "mag" in selected:
+        for bf16 in (False, True):
+            mcfg = dict(mag_tr.DEFAULTS, n_G_filters=width("mag"),
+                        batch_size=nb, epochs=1, bf16=bf16)
+            model = mag_tr.build_model(mcfg)
+            step, tx = mag_tr.make_train_step(mcfg, model)
+            state = mag_tr.init_state(mcfg, model, tx, key, h=h, w=h)
+            bench("mag (Rician)" + (" bf16" if bf16 else ""), step, state,
+                  (jnp.asarray(maps), jnp.asarray(te)),
+                  extra={"filters": width("mag")})
+
+    if "single" in selected:
+        for bf16 in (False, True):
+            scfg = dict(single_tr.DEFAULTS, n_G_filters=width("single"),
+                        epochs=1, bf16=bf16)
+            g_mag, g_pha = single_tr.build_models(scfg)
+            step, tx = single_tr.make_train_step(scfg, g_mag, g_pha)
+            state = single_tr.init_state(scfg, g_mag, g_pha, tx, key,
+                                         h=h, w=h)
+            # single-subject fitter: batch 1 in the reference
+            sb = 1
+            bench("single (fit)" + (" bf16" if bf16 else ""), step, state,
+                  (jnp.asarray(acqs[:sb]), jnp.asarray(maps[:sb]),
+                   jnp.asarray(te[:sb])), batch_n=sb,
+                  extra={"filters": width("single")})
+
+    # --- PI-VAE GAN g+d steps (adversarial path) -----------------------
+    gcfg = None
+    if "gan" in selected:
+        from ideal_gan_tpu.train import gan as gan_tr
+        ff = rng.uniform(0, 0.6, (nb, h, h)).astype(np.float32)
+        pd = rng.uniform(0.3, 0.9, (nb, h, h)).astype(np.float32)
+        zeros = np.zeros_like(ff)
+        b_mag = np.stack([
+            np.stack([ff, zeros], -1),
+            np.stack([pd, rng.uniform(0, .4, (nb, h, h)).astype(np.float32)],
+                     -1),
+            np.stack([rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32),
+                      rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32)],
+                     -1)], 1).astype(np.float32)
+        A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
+                                                      jnp.asarray(te)))
+        # The PI-VAE trains at batch 1–4 in the reference; at 384² the f32
+        # g-step backward OOMs one v5e chip at batch 8 (XLA pads the
+        # 12-channel decoder temporaries ~10×), so the GAN rows run at 2.
+        gb = min(nb, 2)
+        for bf16 in (False, True):
+            gcfg = dict(gan_tr.DEFAULTS, batch_size=gb, epochs=1,
+                        adv_train=True, A_loss="pix-wise", bf16=bf16)
+            name = "gan (g+d)" + (" bf16" if bf16 else "")
+            try:
+                gmodels = gan_tr.build_models(gcfg)
+                g_step, d_step, gtxs = gan_tr.make_train_steps(gcfg, gmodels)
+                gstate = gan_tr.init_state(gcfg, gmodels, gtxs, key,
+                                           A_mag[:1])
+                gbatch = (jnp.asarray(A_mag[:gb]), jnp.asarray(b_mag[:gb]),
+                          jnp.asarray(te[:gb]))
                 gstate, gm, fake = g_step(gstate, gbatch, key)
                 gstate, dm_ = d_step(gstate, gbatch[0], fake)
-            jax.block_until_ready(dm_["D_loss"])
-            dt = (time.perf_counter() - t0) / args.iters
-            print(f"{name:12s}: {dt * 1e3:8.2f} ms/step "
-                  f"({gb / dt:7.1f} slices/s)")
-            results.append({"name": name, "ms_per_step": dt * 1e3,
-                            "slices_per_s": gb / dt, "batch": gb,
-                            "size": h, "note": "PI-VAE adversarial g+d"})
-        except Exception as e:  # OOM guard: keep the other rows
-            print(f"{name:12s}: FAILED ({type(e).__name__})")
+                jax.block_until_ready(dm_["D_loss"])
+                gf = _flops_of(g_step, gstate, gbatch, key) or 0.0
+                df = _flops_of(d_step, gstate, gbatch[0], fake) or 0.0
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    gstate, gm, fake = g_step(gstate, gbatch, key)
+                    gstate, dm_ = d_step(gstate, gbatch[0], fake)
+                jax.block_until_ready(dm_["D_loss"])
+                dt = (time.perf_counter() - t0) / args.iters
+                record(name, dt, gb, (gf + df) or None,
+                       {"note": "PI-VAE adversarial g+d"})
+            except Exception as e:  # OOM guard: keep the other rows
+                print(f"{name:18s}: FAILED ({type(e).__name__})")
 
     # --- LDM denoiser step on PI-VAE latents ---------------------------
-    from ideal_gan_tpu.train import ldm as ldm_tr
-    lat_hw = h // (2 ** gcfg["n_downsamplings"])
-    lcfg = dict(ldm_tr.DEFAULTS, batch_size=nb, epochs=1, in_res=lat_hw)
-    zshape = (nb, lat_hw, lat_hw, gcfg["encoded_size"])
-    lmodel = ldm_tr.build_model(lcfg, channels=zshape[-1])
-    sched = ldm_tr.build_schedule(lcfg)
-    lstep, ltx = ldm_tr.make_train_step(lcfg, lmodel, sched, None)
-    lstate = ldm_tr.init_state(lcfg, lmodel, ltx, key, (1,) + zshape[1:])
-    z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
-    labels = jnp.zeros((nb,), jnp.int32)
-    bench("ldm (eps)", lstep, lstate, (z, labels))
+    if "ldm" in selected:
+        from ideal_gan_tpu.train import gan as gan_tr
+        from ideal_gan_tpu.train import ldm as ldm_tr
+        if gcfg is None:
+            gcfg = dict(gan_tr.DEFAULTS)
+        lat_hw = h // (2 ** gcfg["n_downsamplings"])
+        lcfg = dict(ldm_tr.DEFAULTS, batch_size=nb, epochs=1, in_res=lat_hw)
+        zshape = (nb, lat_hw, lat_hw, gcfg["encoded_size"])
+        lmodel = ldm_tr.build_model(lcfg, channels=zshape[-1])
+        sched = ldm_tr.build_schedule(lcfg)
+        lstep, ltx = ldm_tr.make_train_step(lcfg, lmodel, sched, None)
+        lstate = ldm_tr.init_state(lcfg, lmodel, ltx, key, (1,) + zshape[1:])
+        z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
+        labels = jnp.zeros((nb,), jnp.int32)
+        bench("ldm (eps)", lstep, lstate, (z, labels))
 
     if args.json:
-        import datetime
         out = {"device": str(jax.devices()[0]),
+               "peak_bf16_flops": peak,
                "config": {"size": h, "batch": nb,
-                          "filters": args.filters, "iters": args.iters},
+                          "filters": args.filters or "reference-widths",
+                          "iters": args.iters},
                "results": results}
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)

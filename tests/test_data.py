@@ -82,6 +82,7 @@ class TestHdf5:
         assert len(d.maps) == 11  # one zero slice dropped
         assert d.acqs.shape == (11, 16, 16, 12)
 
+    @pytest.mark.smoke
     def test_load_mebcrn(self, h5file):
         path, acqs, maps, _ = h5file
         d = dlib.load_hdf5(path, ech_idx=12, mebcrn=True)

@@ -38,6 +38,7 @@ class TestMetrics:
                              b.mean(0), np.cov(b, rowvar=False))
         np.testing.assert_allclose(d, 8 * 4.0, rtol=0.05)
 
+    @pytest.mark.smoke
     def test_fid_accumulator(self):
         acc = FIDAccumulator()
         a = RNG.normal(size=(300, 4))
@@ -60,6 +61,7 @@ class TestMetrics:
         s2 = np.asarray(ssim(x, noisy))
         assert np.all(s2 < 0.9)
 
+    @pytest.mark.smoke
     def test_ssim_matches_tf(self):
         tf = pytest.importorskip("tensorflow")
         a = RNG.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32)

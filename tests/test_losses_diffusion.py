@@ -80,6 +80,7 @@ class TestHeteroscedastic:
         apd2 = L.absolute_phase_disparity(y, y2)
         np.testing.assert_allclose(np.asarray(apd2), 0.25 * np.pi, rtol=1e-3)
 
+    @pytest.mark.smoke
     def test_tv_matches_tf(self):
         tf = pytest.importorskip("tensorflow")
         img = RNG.normal(size=(3, 8, 8, 2)).astype(np.float32)

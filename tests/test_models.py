@@ -59,6 +59,7 @@ class TestBlocks:
 
 
 class TestUNet:
+    @pytest.mark.smoke
     def test_me_unet_fm_head(self):
         x = jnp.zeros((2, 6, 32, 32, 2))
         model = UNet(n_out=1, me_layer=True, filters=8, num_layers=2)

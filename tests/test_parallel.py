@@ -5,6 +5,7 @@ a mean-preserving reduction)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.parallel import (batch_sharding, data_mesh,
@@ -16,6 +17,7 @@ from test_physics import make_maps
 
 
 class TestDataParallel:
+    @pytest.mark.smoke
     def test_mesh_helpers(self):
         mesh = data_mesh()
         assert mesh.devices.size == 8
@@ -134,6 +136,7 @@ class TestShardedServing:
                 jnp.asarray(maps[:, 2, ..., 0]),
                 jnp.asarray(maps[:, 2, ..., 1]), jnp.asarray(np.asarray(te)))
 
+    @pytest.mark.smoke
     def test_slice_sharding_matches_single_device(self):
         from ideal_gan_tpu import ops as kops
         s_re, s_im, phi, r2s, te = self._planar_inputs()

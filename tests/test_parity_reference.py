@@ -30,6 +30,7 @@ def _te(ne=6, nb=2):
 
 
 class TestMatrixParity:
+    @pytest.mark.smoke
     def test_gen_M(self):
         te, te_tf = _te()
         m_ref, mpinv_ref = wf.gen_M(te_tf)
@@ -83,6 +84,7 @@ class TestOperatorParity:
         np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
                                    rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.smoke
     def test_acq_to_acq(self):
         maps = make_maps()
         te, te_tf = _te()
@@ -152,6 +154,7 @@ class TestOperatorParity:
         np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
                                    rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.smoke
     def test_cse_mag(self):
         rng = np.random.default_rng(9)
         nb, ne, h, w = 1, 6, 8, 8
@@ -196,6 +199,7 @@ class TestOperatorParity:
                                  jnp.asarray(te))
         np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=2e-3, atol=1e-5)
 
+    @pytest.mark.smoke
     def test_pdff_uncertainty(self):
         class FakeDist:
             def __init__(self, m, v):

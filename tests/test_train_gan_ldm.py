@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.data import ItemPool
@@ -73,6 +74,7 @@ class TestGANConfig:
 
 
 class TestGANTrainer:
+    @pytest.mark.smoke
     def test_vae_mode_losses_finite_and_decreasing(self):
         cfg = tiny_cfg()
         models = gan_tr.build_models(cfg)
@@ -146,6 +148,7 @@ class TestGANTrainer:
 
 
 class TestLDM:
+    @pytest.mark.smoke
     def test_train_and_sample(self):
         cfg = dict(ldm_tr.DEFAULTS)
         cfg.update(n_timesteps=8, n_ldm_filters=8, dim_mults=(1, 2),

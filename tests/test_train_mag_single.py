@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.parallel import data_mesh, shard_batch
@@ -34,6 +35,7 @@ class TestMagTrainer:
             losses.append(float(metrics["G_loss"]))
         return losses
 
+    @pytest.mark.smoke
     def test_supervised_mse(self):
         losses = self._run({"training_mode": "supervised",
                             "main_loss": "MSE"}, n_steps=6)
@@ -108,6 +110,7 @@ class TestSingleTrainer:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
 
+    @pytest.mark.smoke
     def test_unipolar_mode(self):
         losses = self._run({"grad_mode": "unipolar"}, n_steps=3)
         assert all(np.isfinite(l) for l in losses)

@@ -4,6 +4,7 @@ running data-parallel over the 8-device CPU mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ideal_gan_tpu import physics as ph
 from ideal_gan_tpu.parallel import data_mesh, shard_batch
@@ -39,6 +40,7 @@ def run_steps(cfg_overrides, n_steps=3):
 
 
 class TestSupTrainer:
+    @pytest.mark.smoke
     def test_wf_mode_loss_decreases(self):
         losses, state = run_steps({"out_vars": "WF"}, n_steps=6)
         assert all(np.isfinite(l) for l in losses)

@@ -19,6 +19,7 @@ class TestConfig:
         assert back == cfg
         assert back.a == 1 and back.d is True
 
+    @pytest.mark.smoke
     def test_overlay_and_backfill(self):
         train_cfg = Config(lr=1e-3, epochs=100)
         new_flags = {"epochs": 10, "n_samples": 5}
