@@ -28,6 +28,13 @@ def setup_experiment(defaults: dict, argv=None,
             "compile_cache": "/tmp/jax_cache"}
     cfg = parse_flags({**base, **defaults}, argv)
     import jax
+
+    from ..parallel import initialize_distributed
+
+    # Multi-host (pod) wiring: no-op on a single host; on a launcher-env
+    # or TPU-pod process it joins the distributed runtime BEFORE any
+    # device use so jax.devices() spans all hosts (docs/POD.md).
+    initialize_distributed()
     if cfg["compile_cache"]:
         jax.config.update("jax_compilation_cache_dir", cfg["compile_cache"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -56,6 +56,29 @@ class Dataset:
         self._ops.append(("shuffle",))
         return self
 
+    def shard(self, num_shards: int | None = None,
+              index: int | None = None) -> "Dataset":
+        """Per-process data sharding for multi-host (pod) training: keep
+        every `num_shards`-th record starting at `index`. Defaults come
+        from the live JAX distributed runtime (`jax.process_count()` /
+        `jax.process_index()`), so a single-process run is a no-op.
+        The epoch permutation is drawn from the dataset's own seeded rng,
+        identical on every process, so striding the shuffled stream
+        (`ds.shuffle().shard().batch(per_process)`) gives each process a
+        disjoint, epoch-reshuffled partition; shard-before-shuffle is
+        re-applied after the shuffle reset and is equivalent."""
+        if num_shards is None or index is None:
+            import jax
+            num_shards = jax.process_count() if num_shards is None \
+                else num_shards
+            index = jax.process_index() if index is None else index
+        if not 0 <= index < num_shards:
+            raise ValueError(f"shard index {index} not in "
+                             f"[0, {num_shards})")
+        if num_shards > 1:
+            self._ops.append(("shard", num_shards, index))
+        return self
+
     def filter(self, pred: Callable) -> "Dataset":
         self._ops.append(("filter", pred))
         return self
@@ -89,10 +112,24 @@ class Dataset:
         def _map(s, fn):
             return (fn(r) for r in s)
 
+        def _shard(s, n, idx):
+            return (r for k, r in enumerate(s) if k % n == idx)
+
+        shards_seen = []
         for i, op in enumerate(ops):
-            if op[0] == "shuffle":
+            if op[0] == "shard":
+                shards_seen.append(op)
+                stream = _shard(stream, op[1], op[2])
+            elif op[0] == "shuffle":
                 perm = self._rng.permutation(self._length)
                 stream = (self._source[j] for j in perm)
+                # shuffle resets the stream from the source; re-apply any
+                # earlier shard ops so shard→shuffle never silently feeds
+                # every process the full dataset (the permutation is
+                # process-identical — same seeded rng — so partitions
+                # stay disjoint either way)
+                for sh in shards_seen:
+                    stream = _shard(stream, sh[1], sh[2])
             elif op[0] == "filter":
                 stream = _filter(stream, op[1])
             elif op[0] == "map":
