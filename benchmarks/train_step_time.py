@@ -116,6 +116,15 @@ def main():
 
     def bench(name, step_fn, state, batch, batch_n=None, extra=None):
         batch_n = batch_n or nb
+        try:
+            return _bench(name, step_fn, state, batch, batch_n, extra)
+        except Exception as e:  # OOM / compile failure: keep other rows
+            msg = str(e).splitlines()[0][:120] if str(e) else ""
+            print(f"{name:18s}: FAILED ({type(e).__name__}) {msg}")
+            results.append({"name": name, "failed": type(e).__name__,
+                            "batch": batch_n, "size": h, **(extra or {})})
+
+    def _bench(name, step_fn, state, batch, batch_n, extra):
         state, m = step_fn(state, batch, key)  # compile
         jax.block_until_ready(m["G_loss"])
         flops = _flops_of(step_fn, state, batch, key)
@@ -184,15 +193,20 @@ def main():
                          "fused_physics": fused})
 
     if "teaug" in selected:
-        for bf16 in (False, True):
+        # At the reference width (72f) the plain f32 step OOMs one 16 GB
+        # v5e at 384²·b8 — the remat rows are the configuration that
+        # actually fits (per-block rematerialization, models/unet.py).
+        for bf16, remat in ((False, False), (True, False), (False, True),
+                            (True, True)):
             tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
-                        batch_size=nb, epochs=1, bf16=bf16)
+                        batch_size=nb, epochs=1, bf16=bf16, remat=remat)
             model = teaug.build_model(tcfg)
             step, tx = teaug.make_train_step(tcfg, model)
             state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
-            bench("teaug (VET)" + (" bf16" if bf16 else ""), step, state,
+            bench("teaug (VET)" + (" bf16" if bf16 else "")
+                  + (" remat" if remat else ""), step, state,
                   (jnp.asarray(maps), jnp.asarray(te)),
-                  extra={"filters": width("teaug")})
+                  extra={"filters": width("teaug"), "remat": remat})
 
     if "mag" in selected:
         for bf16 in (False, True):

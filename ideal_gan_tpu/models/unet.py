@@ -31,6 +31,35 @@ from .blocks import ConvBlock, TEEncoder, Upsample, get_activation
 from .convlstm import ConvLSTM
 
 
+def _make_remat(cls, **kw):
+    """nn.remat with the ORIGINAL class name, so remat=True and
+    remat=False produce identical param trees (flax would otherwise
+    auto-name the transformed modules 'Checkpoint<Cls>_k', breaking
+    checkpoint compatibility)."""
+    t = nn.remat(cls, **kw)
+    t.__name__ = cls.__name__
+    return t
+
+
+_RematConvBlock = _make_remat(ConvBlock, static_argnums=(1,))
+_RematConvLSTM = _make_remat(ConvLSTM)
+_RematUpsample = _make_remat(Upsample)
+
+
+def _maybe_remat(remat: bool):
+    """Per-block rematerialization: under `remat=True` every conv block /
+    ConvLSTM front / upsample recomputes its activations in the backward
+    pass instead of storing them — peak activation memory drops from
+    O(depth) feature maps to O(1) per level at ~1.25× step FLOPs. This is
+    what lets the TE-aug trainer run the reference's 72-filter width at
+    384² on one 16 GB v5e chip (OOM without it —
+    benchmarks/train_step_time.py). Param trees are identical with and
+    without remat (same module names), so checkpoints interchange."""
+    if not remat:
+        return ConvBlock, ConvLSTM, Upsample
+    return _RematConvBlock, _RematConvLSTM, _RematUpsample
+
+
 class UNet(nn.Module):
     n_out: int = 1
     skip_con: bool = True
@@ -47,15 +76,17 @@ class UNet(nn.Module):
     output_activation: str = "tanh"
     self_attention: bool = False
     norm: str = "instance_norm"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, te: Optional[jnp.ndarray] = None,
                  train: bool = True):
+        Block, Lstm, Up = _maybe_remat(self.remat)
         inputs_acqs = x  # kept for the CSE physics layer
         folded_echoes = None
         if self.me_layer:
-            x = ConvLSTM(self.filters, dtype=self.dtype)(x)
+            x = Lstm(self.filters, dtype=self.dtype)(x)
         elif x.ndim == 5:
             nb, ne = x.shape[0], x.shape[1]
             folded_echoes = (nb, ne)
@@ -64,8 +95,8 @@ class UNet(nn.Module):
         filters = self.filters
         skips = []
         for _ in range(self.num_layers):
-            x = ConvBlock(filters, self.dropout, norm=self.norm,
-                          dtype=self.dtype)(x, train)
+            x = Block(filters, self.dropout, norm=self.norm,
+                      dtype=self.dtype)(x, train)
             if self.te_input:
                 y = TEEncoder(filters)(te)
                 x = adain(x, y)
@@ -73,18 +104,18 @@ class UNet(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             filters *= 2
 
-        x = ConvBlock(filters, self.dropout, norm=self.norm,
-                      dtype=self.dtype)(x, train)
+        x = Block(filters, self.dropout, norm=self.norm,
+                  dtype=self.dtype)(x, train)
 
         for cont, skip in enumerate(reversed(skips)):
             filters //= 2
-            x = Upsample(filters, dtype=self.dtype)(x)
+            x = Up(filters, dtype=self.dtype)(x)
             if self.skip_con:
                 x = jnp.concatenate([x, skip], axis=-1)
             if self.self_attention and cont == 0:
                 x = SelfAttention(dtype=self.dtype)(x)
-            x = ConvBlock(filters, self.dropout, norm=self.norm,
-                          dtype=self.dtype)(x, train)
+            x = Block(filters, self.dropout, norm=self.norm,
+                      dtype=self.dtype)(x, train)
 
         out = nn.Conv(self.n_out, (1, 1),
                       kernel_init=nn.initializers.glorot_normal(),
@@ -142,15 +173,17 @@ class _SharedEncoder(nn.Module):
     norm: str
     te_input: bool
     te_mode: str  # "adain" (every level) or "dense_l1" (add at level 1)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, te, train: bool = True):
+        Block, _, _ = _maybe_remat(self.remat)
         filters = self.filters
         skips = []
         for level in range(self.num_layers):
-            x = ConvBlock(filters, self.dropout, norm=self.norm,
-                          dtype=self.dtype)(x, train)
+            x = Block(filters, self.dropout, norm=self.norm,
+                      dtype=self.dtype)(x, train)
             if self.te_input and self.te_mode == "adain":
                 y = TEEncoder(filters)(te)
                 x = adain(x, y)
@@ -168,8 +201,8 @@ class _SharedEncoder(nn.Module):
                 y = nn.relu(y)
                 x = x + y[:, None, None, :]
             filters *= 2
-        x = ConvBlock(filters, self.dropout, norm=self.norm,
-                      dtype=self.dtype)(x, train)
+        x = Block(filters, self.dropout, norm=self.norm,
+                  dtype=self.dtype)(x, train)
         return x, skips, filters
 
 
@@ -184,19 +217,21 @@ class _Decoder(nn.Module):
     n_out: int
     head_activation: str
     self_attention: bool
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips: Sequence[jnp.ndarray], train: bool = True):
+        Block, _, Up = _maybe_remat(self.remat)
         filters = self.filters_top
         for cont, skip in enumerate(reversed(list(skips))):
             filters //= 2
-            x = Upsample(filters, dtype=self.dtype)(x)
+            x = Up(filters, dtype=self.dtype)(x)
             x = jnp.concatenate([x, skip], axis=-1)
             if self.self_attention and cont == 0:
                 x = SelfAttention(dtype=self.dtype)(x)
-            x = ConvBlock(filters, self.dropout, norm=self.norm,
-                          dtype=self.dtype)(x, train)
+            x = Block(filters, self.dropout, norm=self.norm,
+                      dtype=self.dtype)(x, train)
         out = nn.Conv(self.n_out, (1, 1),
                       kernel_init=nn.initializers.glorot_normal(),
                       dtype=self.dtype)(x)
@@ -215,16 +250,18 @@ class MDWFNet(nn.Module):
     r2_self_attention: bool = False
     fm_self_attention: bool = True
     norm: str = "instance_norm"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, te=None, train: bool = True):
         x, skips, ftop = _SharedEncoder(
             self.filters, self.num_layers, self.dropout, self.norm,
-            self.te_input, "dense_l1", self.dtype)(x, te, train)
+            self.te_input, "dense_l1", remat=self.remat,
+            dtype=self.dtype)(x, te, train)
         dec = lambda n_out, act, sa, name: _Decoder(
             ftop, self.num_layers, self.dropout, self.norm, n_out, act, sa,
-            self.dtype, name=name)(x, skips, train)
+            remat=self.remat, dtype=self.dtype, name=name)(x, skips, train)
         wf = dec(2, "sigmoid", self.wf_self_attention, "dec_wf")
         r2 = dec(1, "relu", self.r2_self_attention, "dec_r2")
         fm = dec(1, "tanh", self.fm_self_attention, "dec_fm")
@@ -246,26 +283,31 @@ class VETNet(nn.Module):
     r2_self_attention: bool = False
     fm_self_attention: bool = True
     norm: str = "instance_norm"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, te=None, train: bool = True):
         folded = None
+        _, Lstm, _ = _maybe_remat(self.remat)
         if self.me_layer:
-            x = ConvLSTM(self.filters, dtype=self.dtype)(x)
+            x = Lstm(self.filters, dtype=self.dtype)(x)
         elif x.ndim == 5:
             nb, ne = x.shape[0], x.shape[1]
             folded = (nb, ne)
             x = x.reshape((nb * ne,) + x.shape[2:])
         x, skips, ftop = _SharedEncoder(
             self.filters, self.num_layers, self.dropout, self.norm,
-            self.te_input, "adain", self.dtype)(x, te, train)
+            self.te_input, "adain", remat=self.remat,
+            dtype=self.dtype)(x, te, train)
         r2 = _Decoder(ftop, self.num_layers, self.dropout, self.norm,
                       self.n_out, "sigmoid", self.r2_self_attention,
-                      self.dtype, name="dec_r2")(x, skips, train)
+                      remat=self.remat, dtype=self.dtype,
+                      name="dec_r2")(x, skips, train)
         fm = _Decoder(ftop, self.num_layers, self.dropout, self.norm,
                       self.n_out, "tanh", self.fm_self_attention,
-                      self.dtype, name="dec_fm")(x, skips, train)
+                      remat=self.remat, dtype=self.dtype,
+                      name="dec_fm")(x, skips, train)
         if self.me_layer:
             return jnp.concatenate([fm, r2], axis=-1)[:, None]
         out = jnp.concatenate([r2, fm], axis=-1)

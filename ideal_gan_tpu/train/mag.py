@@ -31,7 +31,7 @@ DEFAULTS = dict(
     n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100, epoch_ckpt=10,
     lr=0.0002, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0,
     A_demod_TV_weight=0.0, LS_NZ_weight=0.0, LS_cond_weight=0.0,
-    D1_SelfAttention=True, bf16=False,
+    D1_SelfAttention=True, bf16=False, remat=False,
 )
 
 
@@ -47,6 +47,7 @@ def build_model(cfg):
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     return UNet(n_out=1, bayesian=(cfg["main_loss"] == "Rice"),
                 me_layer=True, te_input=(cfg["training_mode"] == "supervised"),
+                remat=cfg.get("remat", False),
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
                 self_attention=cfg["D1_SelfAttention"], dtype=dtype)
 

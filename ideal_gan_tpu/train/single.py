@@ -28,7 +28,7 @@ DEFAULTS = dict(
     data_idx=3, n_G_filters=36, epochs=7000, epoch_decay=24000,
     epoch_ckpt=500, lr=0.0008, beta_1=0.9, beta_2=0.999, main_loss="MSE",
     FM_TV_weight=0.0, FM_L1_weight=0.0, BP_GR_weight=0.0,
-    BP_GR_sym_weight=1.0, D1_SelfAttention=False, D2_SelfAttention=True, bf16=False,
+    BP_GR_sym_weight=1.0, D1_SelfAttention=False, D2_SelfAttention=True, bf16=False, remat=False,
 )
 
 
@@ -46,10 +46,11 @@ def build_models(cfg):
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     n_out = 3
     g_mag = UNet(n_out=n_out, me_layer=True, filters=cfg["n_G_filters"],
-                 output_activation="sigmoid",
+                 output_activation="sigmoid", remat=cfg.get("remat", False),
                  self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     g_pha = UNet(n_out=n_out + (1 if bipolar else 0), me_layer=True,
                  filters=cfg["n_G_filters"], output_activation="none",
+                 remat=cfg.get("remat", False),
                  self_attention=cfg["D2_SelfAttention"], dtype=dtype)
     return g_mag, g_pha
 

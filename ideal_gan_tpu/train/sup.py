@@ -38,7 +38,7 @@ DEFAULTS = dict(
     n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100, epoch_ckpt=10,
     lr=0.0005, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0, FM_TV_weight=0.0,
     R2_L1_weight=0.0, FM_L1_weight=0.0, D1_SelfAttention=False,
-    D2_SelfAttention=True, D3_SelfAttention=True, bf16=False,
+    D2_SelfAttention=True, D3_SelfAttention=True, bf16=False, remat=False,
 )
 
 
@@ -59,6 +59,7 @@ def build_model(cfg):
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     if cfg["G_model"] == "multi-decod":
         return MDWFNet(filters=cfg["n_G_filters"],
+                       remat=cfg.get("remat", False),
                        wf_self_attention=cfg["D1_SelfAttention"],
                        r2_self_attention=cfg["D2_SelfAttention"],
                        fm_self_attention=cfg["D3_SelfAttention"],
@@ -74,6 +75,7 @@ def build_model(cfg):
         else:
             n_out, out_activ = 2, "relu"
         return UNet(n_out=n_out, filters=cfg["n_G_filters"],
+                    remat=cfg.get("remat", False),
                     output_activation=out_activ,
                     self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     raise NameError(

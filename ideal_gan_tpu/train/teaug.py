@@ -53,7 +53,7 @@ DEFAULTS = dict(
     dataset="TEaug-300", n_echoes=6, field=1.5, G_model="PM-Gen",
     out_vars="PM", n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, noise_std=0.1,
-    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4, bf16=False,
+    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4, bf16=False, remat=False,
     R2_TV_weight=0.0, FM_TV_weight=0.0, sel_weight=False, sel_weight_pwr=1.0,
     te_input=True,
     R2_SelfAttention=False, FM_SelfAttention=True,
@@ -76,6 +76,7 @@ def build_model(cfg):
     if cfg["G_model"] in ("PM-Gen", "VET-Net", "multi-decod"):
         return VETNet(me_layer=True, te_input=cfg.get("te_input", True),
                       filters=cfg["n_G_filters"],
+                      remat=cfg.get("remat", False),
                       r2_self_attention=cfg["R2_SelfAttention"],
                       fm_self_attention=cfg["FM_SelfAttention"],
                       dtype=dtype)
@@ -84,10 +85,12 @@ def build_model(cfg):
         return UNet(n_out=n_out, me_layer=True,
                     te_input=cfg.get("te_input", True),
                     filters=cfg["n_G_filters"],
+                    remat=cfg.get("remat", False),
                     self_attention=cfg["FM_SelfAttention"], dtype=dtype)
     if cfg["G_model"] == "MDWF-Net":
         return MDWFNet(filters=cfg["n_G_filters"],
                        te_input=cfg.get("te_input", True),
+                       remat=cfg.get("remat", False),
                        r2_self_attention=cfg["R2_SelfAttention"],
                        fm_self_attention=cfg["FM_SelfAttention"],
                        dtype=dtype)
@@ -100,6 +103,7 @@ def build_r2_model(cfg):
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     return UNet(n_out=1, me_layer=True, te_input=cfg.get("te_input", True),
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
+                remat=cfg.get("remat", False),
                 self_attention=cfg["R2_SelfAttention"], dtype=dtype)
 
 

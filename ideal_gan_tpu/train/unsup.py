@@ -34,7 +34,7 @@ from .common import linear_decay_schedule, make_adam
 DEFAULTS = dict(
     dataset="Unsup-v0", n_echoes=6, field=1.5, out_vars="FM",  # FM | PM
     UQ=False, UQ_R2s=False, UQ_calib=False, rand_ne=False, remove_ech1=False,
-    bf16=False,
+    bf16=False, remat=False,
     data_aug_p=0.4, n_G_filters=36, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, grad_clip=1.0,
     FM_TV_weight=0.0, FM_L1_weight=0.0, R2_TV_weight=0.0, R2_L1_weight=0.0,
@@ -59,10 +59,11 @@ def build_models(cfg):
     physics cycle always runs f32/c64 — SURVEY §7 numerics rule)."""
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     g_fm = UNet(n_out=1, bayesian=cfg["UQ"], me_layer=True,
-                filters=cfg["n_G_filters"],
+                filters=cfg["n_G_filters"], remat=cfg.get("remat", False),
                 self_attention=cfg["D1_SelfAttention"], dtype=dtype)
     g_r2 = UNet(n_out=1, bayesian=cfg["UQ_R2s"], me_layer=True,
                 filters=cfg["n_G_filters"], output_activation="sigmoid",
+                remat=cfg.get("remat", False),
                 self_attention=cfg["D2_SelfAttention"], dtype=dtype)
     return g_fm, g_r2
 

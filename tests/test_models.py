@@ -208,3 +208,37 @@ class TestCSELayer:
         out = model.apply(variables, x, te[..., 0])
         assert out.shape == x.shape  # reprojected acquisitions
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestRemat:
+    def test_remat_is_bit_exact_and_checkpoint_compatible(self):
+        """remat=True must produce the IDENTICAL param tree (module names
+        preserved — checkpoints interchange) and bit-identical outputs
+        and gradients; only peak activation memory differs."""
+        import flax
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 6, 16, 16, 2)).astype(
+            np.float32))
+        te = jnp.asarray((rng.random((2, 6)) * 0.01).astype(np.float32))
+        for kw, cls, args in (
+                (dict(n_out=1, me_layer=True, filters=4, num_layers=2),
+                 UNet, (x,)),
+                (dict(me_layer=True, te_input=True, filters=4,
+                      num_layers=2), VETNet, (x, te))):
+            a, b = cls(**kw), cls(remat=True, **kw)
+            va = a.init(jax.random.PRNGKey(0), *args)
+            assert (set(flax.traverse_util.flatten_dict(va["params"])) ==
+                    set(flax.traverse_util.flatten_dict(
+                        b.init(jax.random.PRNGKey(0), *args)["params"])))
+            np.testing.assert_array_equal(np.asarray(a.apply(va, *args)),
+                                          np.asarray(b.apply(va, *args)))
+
+            def loss(p, m):
+                return jnp.sum(jnp.square(m.apply({"params": p}, *args)))
+
+            ga = jax.grad(loss)(va["params"], a)
+            gb = jax.grad(loss)(va["params"], b)
+            for x1, x2 in zip(jax.tree_util.tree_leaves(ga),
+                              jax.tree_util.tree_leaves(gb)):
+                np.testing.assert_array_equal(np.asarray(x1),
+                                              np.asarray(x2))
