@@ -123,6 +123,10 @@ def main():
             print(f"{name:18s}: FAILED ({type(e).__name__}) {msg}")
             results.append({"name": name, "failed": type(e).__name__,
                             "batch": batch_n, "size": h, **(extra or {})})
+            # a failed compile can leave HBM allocations behind and OOM
+            # every later row — drop what we can (fully clean isolation
+            # needs a fresh process: re-run with --trainers <family>)
+            jax.clear_caches()
 
     def _bench(name, step_fn, state, batch, batch_n, extra):
         state, m = step_fn(state, batch, key)  # compile
