@@ -125,8 +125,10 @@ def main():
                             "batch": batch_n, "size": h, **(extra or {})})
             # a failed compile can leave HBM allocations behind and OOM
             # every later row — drop what we can (fully clean isolation
-            # needs a fresh process: re-run with --trainers <family>)
+            # needs a fresh process: re-run with --trainers <family>,
+            # which is what run_matrix.sh does)
             jax.clear_caches()
+            return None
 
     def _bench(name, step_fn, state, batch, batch_n, extra):
         state, m = step_fn(state, batch, key)  # compile
@@ -238,6 +240,72 @@ def main():
                    jnp.asarray(te[:sb])), batch_n=sb,
                   extra={"filters": width("single")})
 
+    if "phys" in selected:
+        # Bare physics of the single-subject fitter: synthesize_mag_phase
+        # fwd+bwd at the trainer's batch (1). Quantifies how much of the
+        # single (fit) step is physics vs CNN — the evidence for whether
+        # an analytic Pallas backward would pay (VERDICT round-2 weak #3).
+        pmp = np.concatenate(
+            [rng.uniform(0, 1, (1, 1, h, h, 4)).astype(np.float32),
+             rng.uniform(-1, 1, (1, 1, h, h, 4)).astype(np.float32)], 1)
+        sp_fwd = jax.jit(lambda p, t: ph.synthesize_mag_phase(p, t))
+        a_sp = np.asarray(sp_fwd(jnp.asarray(pmp), jnp.asarray(te[:1])))
+
+        def sp_loss(p, a, t):
+            return jnp.mean(jnp.square(a - ph.synthesize_mag_phase(p, t)))
+
+        g_sp = jax.jit(jax.value_and_grad(sp_loss))
+        p_j, a_j2, t_j = (jnp.asarray(pmp), jnp.asarray(a_sp),
+                          jnp.asarray(te[:1]))
+        l, _ = g_sp(p_j, a_j2, t_j)
+        jax.block_until_ready(l)
+        flops = _flops_of(g_sp, p_j, a_j2, t_j)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            l, gr = g_sp(p_j, a_j2, t_j)
+        jax.block_until_ready(l)
+        record("single physics", (time.perf_counter() - t0) / args.iters,
+               1, flops,
+               {"note": "bare synthesize_mag_phase fwd+bwd, batch 1 "
+                        "(physics fraction of the single step)"})
+
+    if "scale" in selected:
+        # Throughput scaling at reference width: bf16 + larger per-chip
+        # batch (the VERDICT round-2 item-3 lever). slices/s is the
+        # figure of merit; remat trades recompute for the activation
+        # memory that otherwise caps the batch.
+        nb2 = 2 * nb
+        maps2 = (rng.normal(size=(nb2, 3, h, h, 2)) * 0.3).astype(np.float32)
+        te2 = np.asarray(ph.te_train(6, bs=nb2))
+        acqs2 = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps2),
+                                                  jnp.asarray(te2)))
+        for bf16, remat, mult in ((True, False, 2), (True, True, 4)):
+            bs = mult * nb
+            cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"), batch_size=bs,
+                       epochs=1, out_vars="PM", bf16=bf16, remat=remat)
+            model = sup.build_model(cfg)
+            step, tx = sup.make_train_step(cfg, model)
+            state = sup.init_state(cfg, model, tx, key, acqs[:1])
+            a_b = np.concatenate([acqs2] * (mult // 2))[:bs]
+            m_b = np.concatenate([maps2] * (mult // 2))[:bs]
+            t_b = np.concatenate([te2] * (mult // 2))[:bs]
+            bench(f"sup (PM) bf16{' remat' if remat else ''} b{bs}",
+                  step, state,
+                  (jnp.asarray(a_b), jnp.asarray(m_b), jnp.asarray(t_b)),
+                  batch_n=bs, extra={"filters": width("sup"),
+                                     "remat": remat})
+        for mult in (2,):
+            bs = mult * nb
+            tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
+                        batch_size=bs, epochs=1, bf16=True, remat=True)
+            model = teaug.build_model(tcfg)
+            step, tx = teaug.make_train_step(tcfg, model)
+            state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+            bench(f"teaug (VET) bf16 remat b{bs}", step, state,
+                  (jnp.asarray(maps2[:bs]), jnp.asarray(te2[:bs])),
+                  batch_n=bs, extra={"filters": width("teaug"),
+                                     "remat": True})
+
     # --- PI-VAE GAN g+d steps (adversarial path) -----------------------
     gcfg = None
     if "gan" in selected:
@@ -289,18 +357,25 @@ def main():
     if "ldm" in selected:
         from ideal_gan_tpu.train import gan as gan_tr
         from ideal_gan_tpu.train import ldm as ldm_tr
-        if gcfg is None:
-            gcfg = dict(gan_tr.DEFAULTS)
-        lat_hw = h // (2 ** gcfg["n_downsamplings"])
-        lcfg = dict(ldm_tr.DEFAULTS, batch_size=nb, epochs=1, in_res=lat_hw)
-        zshape = (nb, lat_hw, lat_hw, gcfg["encoded_size"])
-        lmodel = ldm_tr.build_model(lcfg, channels=zshape[-1])
-        sched = ldm_tr.build_schedule(lcfg)
-        lstep, ltx = ldm_tr.make_train_step(lcfg, lmodel, sched, None)
-        lstate = ldm_tr.init_state(lcfg, lmodel, ltx, key, (1,) + zshape[1:])
-        z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
-        labels = jnp.zeros((nb,), jnp.int32)
-        bench("ldm (eps)", lstep, lstate, (z, labels))
+        try:
+            if gcfg is None:
+                gcfg = dict(gan_tr.DEFAULTS)
+            lat_hw = h // (2 ** gcfg["n_downsamplings"])
+            lcfg = dict(ldm_tr.DEFAULTS, batch_size=nb, epochs=1,
+                        in_res=lat_hw)
+            zshape = (nb, lat_hw, lat_hw, gcfg["encoded_size"])
+            lmodel = ldm_tr.build_model(lcfg, channels=zshape[-1])
+            sched = ldm_tr.build_schedule(lcfg)
+            lstep, ltx = ldm_tr.make_train_step(lcfg, lmodel, sched, None)
+            lstate = ldm_tr.init_state(lcfg, lmodel, ltx, key,
+                                       (1,) + zshape[1:])
+            z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
+            labels = jnp.zeros((nb,), jnp.int32)
+            bench("ldm (eps)", lstep, lstate, (z, labels))
+        except Exception as e:  # setup itself can OOM after leaked rows
+            print(f"ldm (eps)        : FAILED ({type(e).__name__})")
+            results.append({"name": "ldm (eps)",
+                            "failed": type(e).__name__, "size": h})
 
     if args.json:
         out = {"device": str(jax.devices()[0]),
