@@ -45,6 +45,7 @@ def main(argv=None):
 
     model = sup.build_model(cfg)
     step_fn, tx = sup.make_train_step(cfg, model)
+    eval_fn = sup.make_eval_step(cfg, model)
     key = jax.random.PRNGKey(0)
     state = sup.init_state(cfg, model, tx, key, acqs[:1])
 
@@ -82,7 +83,7 @@ def main(argv=None):
                 writer.write(jax.device_get(metrics), gstep, name="G_losses")
         if val_writer is not None:
             vb = tuple(v[:cfg["batch_size"]] for v in val)
-            _, vmetrics = step_fn(state, shard_batch(vb, mesh), key)
+            vmetrics = eval_fn(state, shard_batch(vb, mesh), key)
             val_writer.write(jax.device_get(vmetrics), gstep,
                              name="G_losses")
         if ((ep + 1) % cfg["epoch_ckpt"] == 0 or ep + 1 == cfg["epochs"]

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -263,7 +265,7 @@ def make_train_steps(cfg, models, vgg=None):
         int(cfg["epoch_decay"] * d_total / max(cfg["epochs"], 1)))
     tx_d = make_adam(d_sched, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def g_step(state: GANState, batch, key):
         A, B, te = batch
         (loss, (metrics, a2b2a)), grads = jax.value_and_grad(
@@ -312,7 +314,7 @@ def make_train_steps(cfg, models, vgg=None):
                          "A2B2A_d_loss": f_d_loss, "D_A_r1": r1},
                         mut["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def d_step(state: GANState, A, fake):
         (loss, (metrics, d_stats)), grads = jax.value_and_grad(
             d_loss_fn_full, has_aux=True)(state.params_d, state.d_stats, A,

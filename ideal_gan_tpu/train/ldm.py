@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,7 +85,7 @@ def make_train_step(cfg, model, sched: dm.DiffusionSchedule, encode_fn):
     schedule = linear_decay_schedule(cfg["lr"], cfg["epochs"], cfg["epochs"])
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: LDMState, batch, key):
         z, labels = batch
         k1, k2 = jax.random.split(key)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -152,7 +154,7 @@ def make_train_step(cfg, model):
                                      cfg["epoch_decay"])
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: MagState, batch, key):
         B, te = batch
         (loss, metrics), grads = jax.value_and_grad(

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,7 +138,7 @@ def make_train_step(cfg, g_mag, g_pha):
                                      cfg["epoch_decay"])
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: SingleState, batch, key):
         A, B, te = batch
         (loss, metrics), grads = jax.value_and_grad(

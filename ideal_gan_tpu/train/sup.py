@@ -184,7 +184,11 @@ def make_train_step(cfg, model):
         int(cfg["epoch_decay"] * total_steps / max(cfg["epochs"], 1)))
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    # Donating the state halves the params+opt-state HBM footprint on
+    # TPU (old and new trees never coexist); callers must reassign
+    # `state = train_step(state, ...)` — all CLIs/benchmarks do. On the
+    # CPU test backend donation is a no-op.
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: SupState, batch, key):
         A, B, te = batch
         (loss, metrics), grads = jax.value_and_grad(
@@ -195,6 +199,22 @@ def make_train_step(cfg, model):
         return SupState(params, opt_state, state.step + 1), metrics
 
     return train_step, tx
+
+
+def make_eval_step(cfg, model):
+    """Validation metrics without an optimizer update (and without
+    donating the state — the train step consumes its input state, so the
+    CLI's val pass must not route the live state through it)."""
+    loss_fn = make_loss_fn(cfg, model)
+
+    @jax.jit
+    def eval_step(state: SupState, batch, key):
+        A, B, te = batch
+        loss, metrics = loss_fn(state.params, A, B, te, key)
+        metrics["G_loss"] = loss
+        return metrics
+
+    return eval_step
 
 
 def init_state(cfg, model, tx, key, sample_A):

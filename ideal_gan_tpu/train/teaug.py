@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,7 +240,7 @@ def make_train_step(cfg, model, r2_model=None):
         int(cfg["epoch_decay"] * total_steps / max(cfg["epochs"], 1)))
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TEAugState, batch, key):
         B, te = batch
         (loss, metrics), grads = jax.value_and_grad(
@@ -284,7 +286,7 @@ def make_r2_train_step(cfg, model, r2_model, tx):
         return total, {"R2_loss": r2_loss, "TV_R2_aux": r2_tv,
                        "WF_loss_aux": wf_mae}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TEAugState, batch, key):
         B, te = batch
         (loss, metrics), grads = jax.value_and_grad(

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -186,7 +188,7 @@ def make_train_step(cfg, g_fm, g_r2):
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"],
                    clip_norm=cfg["grad_clip"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: UnsupState, batch, key):
         A, te = batch
         (loss, metrics), (grads, g_off) = jax.value_and_grad(
@@ -220,7 +222,7 @@ def make_r2_train_step(cfg, g_fm, g_r2, tx):
         total = loss + r2_tv + r2_l1
         return total, {"R2_cycle_loss": loss, "TV_R2": r2_tv, "L1_R2": r2_l1}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: UnsupState, batch, key):
         A, te = batch
         (loss, metrics), grads = jax.value_and_grad(
@@ -255,7 +257,7 @@ def make_calib_train_step(cfg, g_fm, g_r2):
         loss = var_mse(A, jnp.concatenate([a_hat, a_var], axis=-1))
         return loss, {"calib_loss": loss}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def calib_step(state: UnsupState, batch, key):
         A, te = batch
         (loss, metrics), grads = jax.value_and_grad(

@@ -16,6 +16,14 @@ from ideal_gan_tpu.train import sup, unsup
 from test_physics import make_maps
 
 
+def copy_state(state):
+    """Deep-copy a train state: the production train steps donate their
+    input state (train/*.py donate_argnums=0), so a test that feeds the
+    same initial state to both the single-device and the sharded step
+    must hand each call its own buffers."""
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
 class TestDataParallel:
     @pytest.mark.smoke
     def test_mesh_helpers(self):
@@ -43,7 +51,7 @@ class TestDataParallel:
         batch = (jnp.asarray(acqs), jnp.asarray(maps),
                  jnp.asarray(np.asarray(te)))
         # single device
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         # sharded over the 8-device mesh
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
@@ -74,7 +82,7 @@ class TestDataParallel:
         state0 = unsup.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
 
         batch = (jnp.asarray(acqs), jnp.asarray(np.asarray(te)))
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
 
@@ -99,7 +107,7 @@ class TestDataParallel:
         state0 = gan_tr.init_state(cfg, models, txs, key, A)
 
         batch = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(te))
-        state1, m1, fake1 = g_step(state0, batch, key)
+        state1, m1, fake1 = g_step(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2, fake2 = g_step(state0, shard_batch(batch, mesh), key)
         np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
@@ -194,7 +202,7 @@ class TestRemainingTrainerFamilies:
         key = jax.random.PRNGKey(0)
         state0 = teaug.init_state(cfg, model, tx, key, h=32, w=32)
         batch = (jnp.asarray(maps), jnp.asarray(te))
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
         np.testing.assert_allclose(float(m1["G_loss"]),
@@ -214,7 +222,7 @@ class TestRemainingTrainerFamilies:
         key = jax.random.PRNGKey(0)
         state0 = mag.init_state(cfg, model, tx, key)
         batch = (jnp.asarray(maps), jnp.asarray(te))
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
         # the Rician NLL is a large-magnitude sum (O(300) here) — 8-way
@@ -237,7 +245,7 @@ class TestRemainingTrainerFamilies:
         key = jax.random.PRNGKey(0)
         state0 = single.init_state(cfg, g_mag, g_pha, tx, key, h=32, w=32)
         batch = (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te))
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
         np.testing.assert_allclose(float(m1["G_loss"]),
@@ -261,7 +269,7 @@ class TestRemainingTrainerFamilies:
         z = jnp.asarray(rng.normal(size=zshape).astype(np.float32))
         labels = jnp.zeros((8,), jnp.int32)
         batch = (z, labels)
-        state1, m1 = step_fn(state0, batch, key)
+        state1, m1 = step_fn(copy_state(state0), batch, key)
         mesh = data_mesh()
         state2, m2 = step_fn(state0, shard_batch(batch, mesh), key)
         np.testing.assert_allclose(float(m1["G_loss"]),
