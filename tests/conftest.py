@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the smoke tier is dominated by XLA CPU
+# compiles of the seven full train steps (~6 of its ~7.5 min); with the
+# cache warm it runs in well under 5 min. Keyed by HLO hash, so code
+# changes re-compile exactly the affected steps.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

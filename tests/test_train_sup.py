@@ -85,3 +85,37 @@ class TestBF16:
         losses, _ = run_steps({"out_vars": "WF", "bf16": True}, n_steps=6)
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestDonation:
+    """The production train steps donate their input state
+    (train/*.py donate_argnums=0) so the old and new params+optimizer
+    trees never coexist in HBM; the eval step must NOT donate, because
+    the CLI routes the live state through it between train steps."""
+
+    def _setup(self):
+        cfg = dict(sup.DEFAULTS)
+        cfg.update(n_G_filters=4, batch_size=2, epochs=1, out_vars="WF")
+        model = sup.build_model(cfg)
+        acqs, maps, te = make_dataset(n=2)
+        step_fn, tx = sup.make_train_step(cfg, model)
+        eval_fn = sup.make_eval_step(cfg, model)
+        key = jax.random.PRNGKey(0)
+        state = sup.init_state(cfg, model, tx, key, acqs[:1])
+        batch = tuple(jnp.asarray(b) for b in (acqs, maps, te))
+        return step_fn, eval_fn, state, batch, key
+
+    def test_train_step_consumes_state(self):
+        step_fn, _, state, batch, key = self._setup()
+        new_state, _ = step_fn(state, batch, key)
+        with pytest.raises(Exception, match="[Dd]elet|donat"):
+            step_fn(state, batch, key)  # donated buffers are gone
+        # the returned state is live
+        step_fn(new_state, batch, key)
+
+    def test_eval_step_preserves_state(self):
+        step_fn, eval_fn, state, batch, key = self._setup()
+        m1 = eval_fn(state, batch, key)
+        m2 = eval_fn(state, batch, key)          # state reusable
+        assert float(m1["G_loss"]) == float(m2["G_loss"])
+        step_fn(state, batch, key)               # still consumable
