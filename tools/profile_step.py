@@ -1,0 +1,194 @@
+"""Profile a trainer step and print the top device ops by self-time.
+
+Runs N iterations of a trainer family's jitted train step under
+``jax.profiler.trace`` and parses the captured trace
+(``plugins/profile/*/…trace.json.gz``, chrome-trace JSON) directly — no
+TensorBoard needed. Device-lane events are grouped by op name and ranked
+by total duration, giving the op-level answer to "where does the step
+time go" (the MFU-vs-ceiling gap analysis in docs/DESIGN.md).
+
+Run (TPU):  python tools/profile_step.py --trainer unsup --size 384 \
+                --batch 8 --bf16 --iters 5
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def load_trace_events(profile_dir):
+    """All complete ('X') events from every trace.json.gz under the
+    profile dir, with their process/thread names resolved."""
+    paths = glob.glob(os.path.join(profile_dir, "plugins", "profile",
+                                   "*", "*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {profile_dir}")
+    events, names = [], {}
+    for p in paths:
+        with gzip.open(p, "rt") as f:
+            trace = json.load(f)
+        for ev in trace.get("traceEvents", []):
+            ph = ev.get("ph")
+            if ph == "M" and ev.get("name") in ("process_name",
+                                                "thread_name"):
+                key = (ev.get("pid"), ev.get("tid"),
+                       ev["name"] == "process_name")
+                names[key] = ev.get("args", {}).get("name", "")
+            elif ph == "X":
+                events.append(ev)
+    return events, names
+
+
+def device_lane(ev, names):
+    """Name of the process/thread lane an event belongs to."""
+    proc = names.get((ev.get("pid"), None, True),
+                     names.get((ev.get("pid"), ev.get("tid"), True), ""))
+    if not proc:  # some traces key process_name with tid=0
+        proc = next((v for (pid, _, is_proc), v in names.items()
+                     if is_proc and pid == ev.get("pid")), "")
+    thread = names.get((ev.get("pid"), ev.get("tid"), False), "")
+    return proc, thread
+
+
+def summarize(events, names, top=25, lane_filter=None):
+    """Group device-side events by op name; return rows ranked by total
+    duration. Host python/runtime lanes are skipped (they overlap device
+    time and double-count)."""
+    per_op = collections.defaultdict(lambda: [0.0, 0])
+    lanes = collections.Counter()
+    for ev in events:
+        proc, thread = device_lane(ev, names)
+        lane = f"{proc}/{thread}"
+        lanes[lane] += 1
+        hay = lane.lower()
+        if lane_filter:
+            if lane_filter.lower() not in hay:
+                continue
+        elif not any(k in hay for k in ("/device:", "tpu", "xla", "stream")):
+            continue
+        if "step" in thread.lower() and "xla" not in hay:
+            continue
+        dur = float(ev.get("dur", 0.0))  # microseconds
+        per_op[ev.get("name", "?")][0] += dur
+        per_op[ev.get("name", "?")][1] += 1
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1][0])
+    return rows[:top], lanes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trainer", default="unsup",
+                    choices=["sup", "unsup", "teaug", "mag", "single"])
+    ap.add_argument("--size", type=int, default=384)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--filters", type=int, default=0,
+                    help="0 = the trainer's reference width")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--dir", default="",
+                    help="keep the profile here (default: tmp, parsed "
+                         "then discarded)")
+    ap.add_argument("--lane", default="",
+                    help="only sum lanes containing this substring "
+                         "(default: device/TPU/XLA lanes)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ideal_gan_tpu import physics as ph
+
+    widths = {"sup": 72, "teaug": 72, "unsup": 32, "mag": 36, "single": 36}
+    width = args.filters or widths[args.trainer]
+    nb, h = args.batch, args.size
+    rng = np.random.default_rng(0)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    te = np.asarray(ph.te_train(6, bs=nb))
+    acqs = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps),
+                                             jnp.asarray(te)))
+    key = jax.random.PRNGKey(0)
+
+    if args.trainer == "sup":
+        from ideal_gan_tpu.train import sup as tr
+        cfg = dict(tr.DEFAULTS, n_G_filters=width, batch_size=nb, epochs=1,
+                   out_vars="PM", bf16=args.bf16)
+        model = tr.build_model(cfg)
+        step, tx = tr.make_train_step(cfg, model)
+        state = tr.init_state(cfg, model, tx, key, acqs[:1])
+        batch = (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te))
+    elif args.trainer == "teaug":
+        from ideal_gan_tpu.train import teaug as tr
+        cfg = dict(tr.DEFAULTS, n_G_filters=width, batch_size=nb, epochs=1,
+                   bf16=args.bf16)
+        model = tr.build_model(cfg)
+        step, tx = tr.make_train_step(cfg, model)
+        state = tr.init_state(cfg, model, tx, key, h=h, w=h)
+        batch = (jnp.asarray(maps), jnp.asarray(te))
+    elif args.trainer == "mag":
+        from ideal_gan_tpu.train import mag as tr
+        cfg = dict(tr.DEFAULTS, n_G_filters=width, batch_size=nb, epochs=1,
+                   bf16=args.bf16)
+        model = tr.build_model(cfg)
+        step, tx = tr.make_train_step(cfg, model)
+        state = tr.init_state(cfg, model, tx, key, h=h, w=h)
+        batch = (jnp.asarray(maps), jnp.asarray(te))
+    elif args.trainer == "single":
+        from ideal_gan_tpu.train import single as tr
+        cfg = dict(tr.DEFAULTS, n_G_filters=width, epochs=1,
+                   bf16=args.bf16)
+        g_mag, g_pha = tr.build_models(cfg)
+        step, tx = tr.make_train_step(cfg, g_mag, g_pha)
+        state = tr.init_state(cfg, g_mag, g_pha, tx, key, h=h, w=h)
+        batch = (jnp.asarray(acqs[:1]), jnp.asarray(maps[:1]),
+                 jnp.asarray(te[:1]))
+    else:
+        from ideal_gan_tpu.train import unsup as tr
+        cfg = dict(tr.DEFAULTS, n_G_filters=width, batch_size=nb, epochs=1,
+                   bf16=args.bf16)
+        g_fm, g_r2 = tr.build_models(cfg)
+        step, tx = tr.make_train_step(cfg, g_fm, g_r2)
+        state = tr.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
+        batch = (jnp.asarray(acqs), jnp.asarray(te))
+
+    # compile outside the trace
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m["G_loss"])
+
+    prof_dir = args.dir or tempfile.mkdtemp(prefix="profstep_")
+    with jax.profiler.trace(prof_dir):
+        for _ in range(args.iters):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m["G_loss"])
+
+    events, names = load_trace_events(prof_dir)
+    rows, lanes = summarize(events, names, top=args.top,
+                            lane_filter=args.lane or None)
+    total = sum(d for _, (d, _) in rows) or 1.0
+    print(f"{args.trainer} step @ {h}^2 b{nb} "
+          f"{'bf16' if args.bf16 else 'f32'} x{args.iters} iters")
+    if not rows:
+        print("no device-lane events matched; lanes seen:")
+        for lane, n in lanes.most_common(20):
+            print(f"  {lane}: {n} events")
+        return
+    print(f"{'op':60s} {'ms':>9s} {'calls':>6s} {'share':>7s}")
+    for name, (dur, cnt) in rows:
+        print(f"{name[:60]:60s} {dur / 1e3:9.2f} {cnt:6d} "
+              f"{100 * dur / total:6.1f}%")
+    print(f"\n(total listed: {total / 1e3:.1f} ms over {args.iters} iters; "
+          f"profile dir: {prof_dir})")
+
+
+if __name__ == "__main__":
+    main()
