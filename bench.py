@@ -88,8 +88,12 @@ def main():
     jax.block_until_ready((rre_b, rim_b))
 
     def pdff(rre, rim):
-        w = np.abs(np.asarray(rre)[:, 0] + 1j * np.asarray(rim)[:, 0])
-        f = np.abs(np.asarray(rre)[:, 1] + 1j * np.asarray(rim)[:, 1])
+        # cast first: ρ may be bf16 (ml_dtypes) which numpy complex math
+        # doesn't accept directly
+        rre = np.asarray(rre, dtype=np.float32)
+        rim = np.asarray(rim, dtype=np.float32)
+        w = np.abs(rre[:, 0] + 1j * rim[:, 0])
+        f = np.abs(rre[:, 1] + 1j * rim[:, 1])
         return f / np.maximum(w + f, 1e-6)
 
     pdff_dev = float(np.abs(pdff(rre, rim) - pdff(rre_b, rim_b)).max())
@@ -102,6 +106,26 @@ def main():
     if pdff_dev < 3e-3 and nb / dt_b > slices_per_sec:
         slices_per_sec = nb / dt_b
         mode = "bf16-echo"
+
+    # bf16-ρ-output mode on top of bf16 echoes: halves the output bytes
+    # too (accumulation stays f32; only the final store narrows). Same
+    # gate: adopted only if the end-to-end PDFF deviation stays inside
+    # the envelope and it is actually faster on this hardware.
+    fit_bo = jax.jit(lambda a, b, p, r: kops.fit_rho_planar(
+        a, b, p, r, jnp.asarray(te), uniform_te=True, precomputed=pre,
+        out_dtype=jnp.bfloat16))
+    rre_o, rim_o = fit_bo(sb_re, sb_im, phi_d, r2s_d)
+    jax.block_until_ready((rre_o, rim_o))
+    pdff_dev_o = float(np.abs(pdff(rre, rim) - pdff(rre_o, rim_o)).max())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fit_bo(sb_re, sb_im, phi_d, r2s_d)
+    jax.block_until_ready(out)
+    dt_o = (time.perf_counter() - t0) / n_iter
+    if pdff_dev_o < 3e-3 and nb / dt_o > slices_per_sec:
+        slices_per_sec = nb / dt_o
+        mode = "bf16-echo+out"
+        pdff_dev = pdff_dev_o
 
     print(json.dumps({
         "metric": "ideal_map_fit_throughput_384x384_6echo",

@@ -143,8 +143,10 @@ def _fit_kernel(ne, ns, fm_sc, r2_sc, rho_sc, uniform,
             acc[sp][0] += mp_re * yre - mp_im * yim
             acc[sp][1] += mp_re * yim + mp_im * yre
     for sp in range(ns):
-        rre_ref[0, sp] = acc[sp][0] * inv_rho
-        rim_ref[0, sp] = acc[sp][1] * inv_rho
+        # stores honour the out-ref dtype (f32 normally; bf16 in the
+        # bandwidth-saving serving mode — math above is always f32)
+        rre_ref[0, sp] = (acc[sp][0] * inv_rho).astype(rre_ref.dtype)
+        rim_ref[0, sp] = (acc[sp][1] * inv_rho).astype(rim_ref.dtype)
 
 
 def _cycle_kernel(ne, ns, fm_sc, r2_sc, rho_sc, uniform,
@@ -434,7 +436,7 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
                    fm_sc=FM_SC, rho_sc=RHO_SC,
                    species: SpeciesModel = WATER_FAT_7PEAK,
                    uniform_te: bool | None = None,
-                   precomputed=None):
+                   precomputed=None, out_dtype=jnp.float32):
     """Maximum-throughput map fitting on planar buffers.
 
     The MEBCRN channel-last layout costs a full HBM round-trip to split
@@ -446,10 +448,16 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
                    bandwidth-saving serving mode (echo bytes halve; the
                    kernel upcasts each tile and all math stays f32)
       phi, r2s   : (nb, H, W) normalized field-map / R2*
+      out_dtype  : jnp.float32 (default) or jnp.bfloat16 — bf16 halves
+                   the ρ output bytes of the bandwidth-bound kernel; the
+                   accumulation stays f32 and only the final store
+                   narrows. PDFF from bf16 ρ deviates ≲0.3 % (the ratio
+                   cancels most of the rounding); callers gate on their
+                   own accuracy envelope (bench.py re-checks every run).
 
-    Returns (rho_re, rho_im), each (nb, ns, H, W) float32. Same kernel as
-    `fit_rho_fused`; only the layout shims differ. Forward-only (no VJP) —
-    training paths use the MEBCRN entry points.
+    Returns (rho_re, rho_im), each (nb, ns, H, W) in `out_dtype`. Same
+    kernel as `fit_rho_fused`; only the layout shims differ. Forward-only
+    (no VJP) — training paths use the MEBCRN entry points.
     """
     nb, ne, hgt, wdt = s_re.shape
     ns = species.n_species
@@ -469,6 +477,15 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
             "upcasting to f32 (no bandwidth saving)", hgt, wdt)
         s_re, s_im = s_re.astype(jnp.float32), s_im.astype(jnp.float32)
         bf16_in = False
+    bf16_out = out_dtype == jnp.bfloat16
+    if bf16_out and (wdt % LANES != 0 or hgt % 16 != 0):
+        # same (16, 128) tiling constraint on the output side — loud
+        # fallback to f32 stores rather than a silent slow path.
+        logging.getLogger(__name__).warning(
+            "fit_rho_planar: bf16 output requested but shape "
+            "(H=%d, W=%d) cannot block on the (16, 128) bf16 tile — "
+            "storing f32 (no bandwidth saving)", hgt, wdt)
+        out_dtype, bf16_out = jnp.float32, False
 
     phi = phi[:, None]
     r2s = r2s[:, None]
@@ -480,7 +497,7 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     # always divides). If H has no divisor ≥ the minimum (e.g. H=12 f32),
     # the native path can't tile it — use the lane-flattening fallback,
     # which relayouts+pads and is correct for any shape.
-    min_th = 16 if bf16_in else 8
+    min_th = 16 if (bf16_in or bf16_out) else 8
     th = max(_row_tile(hgt * max(wdt // LANES, 1)) * LANES // max(wdt, 1),
              min_th)
     while hgt % th:
@@ -496,7 +513,7 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
                                 memory_space=pltpu.VMEM)
 
         out_shape = [jax.ShapeDtypeStruct((nb, ns, hgt, wdt),
-                                          jnp.float32)] * 2
+                                          out_dtype)] * 2
         return pl.pallas_call(
             kernel,
             grid=(nb, hgt // th),

@@ -235,6 +235,45 @@ class TestPlanarFit:
         assert any("bf16" in r.message and "upcast" in r.message
                    for r in caplog.records)
 
+    def test_bf16_output_tracks_f32(self):
+        # bf16-ρ-output serving mode: accumulation stays f32, only the
+        # final store narrows — values must match the f32 path within
+        # bf16 output quantization, and the dtype must actually be bf16
+        maps_np = make_maps(h=64, w=128)
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        ref = kops.fit_rho_planar(
+            acqs[..., 0], acqs[..., 1],
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+        out = kops.fit_rho_planar(
+            acqs[..., 0].astype(jnp.bfloat16),
+            acqs[..., 1].astype(jnp.bfloat16),
+            params[:, 0, ..., 0], params[:, 0, ..., 1], te,
+            out_dtype=jnp.bfloat16)
+        for o, r in zip(out, ref):
+            assert o.dtype == jnp.bfloat16
+            np.testing.assert_allclose(np.asarray(o, np.float32),
+                                       np.asarray(r), atol=1e-2)
+
+    def test_bf16_output_unalignable_shape_falls_back(self, caplog):
+        # H % 16 != 0 → bf16 stores can't tile; must fall back to f32
+        # output with a LOGGED warning, never a silent slow/wrong path
+        import logging
+        maps_np = make_maps(h=40, w=128)
+        te = ph.te_train(6, bs=2)
+        acqs = ph.synthesize(jnp.asarray(maps_np), te)
+        params = jnp.asarray(maps_np[:, 2:3])
+        with caplog.at_level(logging.WARNING,
+                             logger="ideal_gan_tpu.ops.pallas_ideal"):
+            out = kops.fit_rho_planar(
+                acqs[..., 0], acqs[..., 1],
+                params[:, 0, ..., 0], params[:, 0, ..., 1], te,
+                out_dtype=jnp.bfloat16)
+        assert out[0].dtype == jnp.float32
+        assert np.isfinite(np.asarray(out[0])).all()
+        assert any("bf16 output" in r.message for r in caplog.records)
+
     def test_f32_unalignable_height_full_coverage(self):
         # H with no divisor ≥ 8 (here 12 = 4·3) while W % 128 == 0: the
         # native-(H, W) path can't tile it; must route through the
