@@ -43,15 +43,49 @@ def _restore(cfg, state):
     return state
 
 
-def _per_slice(run, acqs, te):
-    outs = [run(jnp.asarray(acqs[i:i + 1]), jnp.asarray(te[i:i + 1]))
-            for i in range(len(acqs))]
+def _per_slice(run, acqs, te, batch_size: int = 1):
+    """Chunked inference over the cohort.
+
+    batch_size=1 reproduces the reference's slice-at-a-time eval loop
+    (ROI-analysis.py per-slice model calls). Larger batches run chunks of
+    a fixed static shape (the last chunk is padded by repeating its final
+    slice, then trimmed) so jit compiles exactly once; when several
+    devices are visible and batch_size divides the device count evenly,
+    chunks are laid out batch-sharded over the 'data' mesh and GSPMD
+    data-parallelizes the jitted model+fit with no code changes — the
+    bulk-serving path of cli/infer.py.
+    """
+    bs = max(int(batch_size), 1)
+    sharding = None
+    if bs > 1 and jax.device_count() > 1 and bs % jax.device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import data_mesh
+        sharding = NamedSharding(data_mesh(), P("data"))
+    n = len(acqs)
+    outs = []
+    for i in range(0, n, bs):
+        a = np.asarray(acqs[i:i + bs])
+        t = np.asarray(te[i:i + bs])
+        k = len(a)
+        if k < bs:
+            a = np.concatenate([a, np.repeat(a[-1:], bs - k, axis=0)])
+            t = np.concatenate([t, np.repeat(t[-1:], bs - k, axis=0)])
+        aj, tj = jnp.asarray(a), jnp.asarray(t)
+        if sharding is not None:
+            aj = jax.device_put(aj, sharding)
+            tj = jax.device_put(tj, sharding)
+        o = run(aj, tj)
+        outs.append(jax.tree_util.tree_map(lambda x: np.asarray(x)[:k], o))
     return jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs)
+        lambda *xs: np.concatenate(xs), *outs)
 
 
 def infer_maps(cfg, acqs, te):
-    """Model dispatch → (maps (n, 3, H, W, 2), rho_var or None)."""
+    """Model dispatch → (maps (n, 3, H, W, 2), rho_var or None).
+
+    cfg["infer_batch"] (default 1) sets the serving chunk size — see
+    `_per_slice` for the batching/sharding semantics."""
     sel = cfg["model_sel"]
     try:
         exp_cfg = load_settings(cfg["experiment_dir"])
@@ -101,7 +135,8 @@ def infer_maps(cfg, acqs, te):
             pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
             return jnp.concatenate([rho, pm], axis=1), rho_var
 
-        return _per_slice(run, acqs, te)
+        return _per_slice(run, acqs, te,
+                          int(cfg.get("infer_batch", 1)))
 
     if sel == "VET-Net":
         from ..train import teaug
@@ -122,7 +157,8 @@ def infer_maps(cfg, acqs, te):
             return jnp.concatenate([rho, pm], axis=1), jnp.zeros(
                 rho.shape[:1] + (4,) + rho.shape[2:4] + (1,))
 
-        return _per_slice(run, acqs, te)
+        return _per_slice(run, acqs, te,
+                          int(cfg.get("infer_batch", 1)))
 
     if sel == "Mag":
         from ..train import mag
@@ -151,7 +187,8 @@ def infer_maps(cfg, acqs, te):
             var = jnp.concatenate([res.uncertainty] * 4, axis=1)
             return jnp.concatenate([wf, pm], axis=1), var
 
-        return _per_slice(run, acqs, te)
+        return _per_slice(run, acqs, te,
+                          int(cfg.get("infer_batch", 1)))
 
     if sel == "2D-Net":
         # Legacy-layout PM net: supervised PM-mode U-Net → (R2*, FM) →
@@ -181,7 +218,8 @@ def infer_maps(cfg, acqs, te):
             return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
                                    + (1,))
 
-        return _per_slice(run, acqs, te)
+        return _per_slice(run, acqs, te,
+                          int(cfg.get("infer_batch", 1)))
 
     if sel in ("U-Net", "MDWF"):
         from ..data import layouts
@@ -210,7 +248,8 @@ def infer_maps(cfg, acqs, te):
             return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
                                    + (1,))
 
-        return _per_slice(run, acqs, te)
+        return _per_slice(run, acqs, te,
+                          int(cfg.get("infer_batch", 1)))
 
     if sel == "GraphCuts":
         raise SystemExit("GraphCuts mode consumes precomputed maps; "
