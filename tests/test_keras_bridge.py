@@ -189,5 +189,10 @@ class TestCheckpointImport:
         g_fm, _ = unsup.build_models({**unsup.DEFAULTS,
                                       "n_G_filters": filters})
         params = load_params_npz(str(out / "G_A2B.npz"))
+        # atol 1e-3 (not the module default 2e-4): TF's CPU conv/norm
+        # reductions reassociate with thread scheduling, so the Keras
+        # forward itself varies run-to-run by up to ~4e-4 here (observed
+        # under suite load). The test guards converter wiring — a wrong
+        # layout/gate mapping is an O(1) error, far above this tolerance.
         _cmp(g_fm_k(x, training=False),
-             g_fm.apply(params, jnp.asarray(x), train=False))
+             g_fm.apply(params, jnp.asarray(x), train=False), atol=1e-3)
