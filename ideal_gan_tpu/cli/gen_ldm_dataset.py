@@ -71,7 +71,7 @@ def main(argv=None):
         if cfg["write_dicom"]:
             # Per-volume DICOM export (reference gen_LDM_dataset.py writes
             # PDFF/R2s/MultiEcho DICOM series per generated volume).
-            from ..data.dicom import gen_ds, write_dicom
+            from ..data.dicom import gen_ds, write_dicom, write_map_series
             from ..eval.roi import maps_to_display
             maps_np = np.asarray(maps)
             pdff, r2s, _ = maps_to_display(maps_np)
@@ -79,12 +79,8 @@ def main(argv=None):
             for j in range(nb):
                 vol = n_written + j
                 vdir = out_dir / "out_dicom" / f"Volunteer-{vol:03d}"
-                write_dicom(gen_ds(vol, cfg["method_prefix"]),
-                            np.clip(pdff[j], 0, 1), str(vdir / "PDFF"),
-                            "PDFF", level=0, slices=1)
-                write_dicom(gen_ds(vol, cfg["method_prefix"], r2s=True),
-                            np.clip(r2s[j], 0, 1), str(vdir / "R2s"),
-                            "R2s", level=0, slices=1)
+                write_map_series(vdir, vol, pdff[j], r2s[j],
+                                 cfg["method_prefix"])
                 mag0 = np.hypot(acqs_np[j, 0, :, :, 0],
                                 acqs_np[j, 0, :, :, 1])
                 write_dicom(gen_ds(vol, cfg["method_prefix"]),

@@ -50,18 +50,21 @@ def _per_slice(run, acqs, te, batch_size: int = 1):
     (ROI-analysis.py per-slice model calls). Larger batches run chunks of
     a fixed static shape (the last chunk is padded by repeating its final
     slice, then trimmed) so jit compiles exactly once; when several
-    devices are visible and batch_size divides the device count evenly,
-    chunks are laid out batch-sharded over the 'data' mesh and GSPMD
-    data-parallelizes the jitted model+fit with no code changes — the
-    bulk-serving path of cli/infer.py.
+    devices are visible, chunks are laid out batch-sharded over the
+    largest 'data' mesh whose size divides batch_size
+    (`data_mesh_for_batch`, which warns loudly when devices idle) and
+    GSPMD data-parallelizes the jitted model+fit with no code changes —
+    the bulk-serving path of cli/infer.py.
     """
     bs = max(int(batch_size), 1)
     sharding = None
-    if bs > 1 and jax.device_count() > 1 and bs % jax.device_count() == 0:
+    if bs > 1 and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel import data_mesh
-        sharding = NamedSharding(data_mesh(), P("data"))
+        from ..parallel import data_mesh_for_batch
+        mesh = data_mesh_for_batch(bs)
+        if mesh.shape["data"] > 1:
+            sharding = NamedSharding(mesh, P("data"))
     n = len(acqs)
     outs = []
     for i in range(0, n, bs):
@@ -81,11 +84,12 @@ def _per_slice(run, acqs, te, batch_size: int = 1):
         lambda *xs: np.concatenate(xs), *outs)
 
 
-def infer_maps(cfg, acqs, te):
-    """Model dispatch → (maps (n, 3, H, W, 2), rho_var or None).
-
-    cfg["infer_batch"] (default 1) sets the serving chunk size — see
-    `_per_slice` for the batching/sharding semantics."""
+def make_infer_run(cfg, acqs):
+    """Model dispatch → the jitted per-chunk inference closure
+    run(a, te_b) -> (maps (nb, 3, H, W, 2), rho_var). Builds the model,
+    restores the checkpoint and closes over the params ONCE — callers
+    (cli.infer) reuse the closure across chunks so jit traces/compiles a
+    single time. `acqs` is used for init shapes only."""
     sel = cfg["model_sel"]
     try:
         exp_cfg = load_settings(cfg["experiment_dir"])
@@ -135,8 +139,7 @@ def infer_maps(cfg, acqs, te):
             pm = jnp.concatenate([fm_mean, r2_mean], axis=-1)
             return jnp.concatenate([rho, pm], axis=1), rho_var
 
-        return _per_slice(run, acqs, te,
-                          int(cfg.get("infer_batch", 1)))
+        return run
 
     if sel == "VET-Net":
         from ..train import teaug
@@ -157,8 +160,7 @@ def infer_maps(cfg, acqs, te):
             return jnp.concatenate([rho, pm], axis=1), jnp.zeros(
                 rho.shape[:1] + (4,) + rho.shape[2:4] + (1,))
 
-        return _per_slice(run, acqs, te,
-                          int(cfg.get("infer_batch", 1)))
+        return run
 
     if sel == "Mag":
         from ..train import mag
@@ -187,8 +189,7 @@ def infer_maps(cfg, acqs, te):
             var = jnp.concatenate([res.uncertainty] * 4, axis=1)
             return jnp.concatenate([wf, pm], axis=1), var
 
-        return _per_slice(run, acqs, te,
-                          int(cfg.get("infer_batch", 1)))
+        return run
 
     if sel == "2D-Net":
         # Legacy-layout PM net: supervised PM-mode U-Net → (R2*, FM) →
@@ -218,8 +219,7 @@ def infer_maps(cfg, acqs, te):
             return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
                                    + (1,))
 
-        return _per_slice(run, acqs, te,
-                          int(cfg.get("infer_batch", 1)))
+        return run
 
     if sel in ("U-Net", "MDWF"):
         from ..data import layouts
@@ -248,13 +248,23 @@ def infer_maps(cfg, acqs, te):
             return maps, jnp.zeros(maps.shape[:1] + (4,) + maps.shape[2:4]
                                    + (1,))
 
-        return _per_slice(run, acqs, te,
-                          int(cfg.get("infer_batch", 1)))
+        return run
 
     if sel == "GraphCuts":
         raise SystemExit("GraphCuts mode consumes precomputed maps; "
                          "use the library API (eval.roi) directly")
     raise SystemExit(f"unknown model_sel {sel!r}")
+
+
+def infer_maps(cfg, acqs, te):
+    """Model dispatch → (maps (n, 3, H, W, 2), rho_var or None).
+
+    cfg["infer_batch"] (default 1) sets the serving chunk size — see
+    `_per_slice` for the batching/sharding semantics. Bulk callers that
+    need the closure itself (to warm the compile outside a timed region)
+    use `make_infer_run` directly."""
+    return _per_slice(make_infer_run(cfg, acqs), acqs, te,
+                      int(cfg.get("infer_batch", 1)))
 
 
 def pdff_variance_map(maps: np.ndarray, rho_var: np.ndarray) -> np.ndarray:

@@ -159,6 +159,22 @@ def gen_ds(idx: int, method_prefix: str = "m000",
     return ds
 
 
+def write_map_series(vdir, vol_idx: int, pdff_slice, r2s_slice,
+                     method_prefix: str = "m000") -> None:
+    """PDFF + R2s single-slice series for one volume under
+    <vdir>/{PDFF,R2s}/ — the per-volunteer export convention shared by
+    cli.gen_ldm_dataset (reference gen_LDM_dataset.py volume export) and
+    cli.infer, kept in one place so the rescale/clipping conventions
+    cannot diverge."""
+    vdir = Path(vdir)
+    write_dicom(gen_ds(vol_idx, method_prefix),
+                np.clip(pdff_slice, 0, 1), str(vdir / "PDFF"),
+                "PDFF", level=0, slices=1)
+    write_dicom(gen_ds(vol_idx, method_prefix, r2s=True),
+                np.clip(r2s_slice, 0, 1), str(vdir / "R2s"),
+                "R2s", level=0, slices=1)
+
+
 def write_dicom(ds: DicomDataset, pixel_array, path, filename, level,
                 slices) -> None:
     """Per-slice writer (reference write_dicom, data.py:397-414): values

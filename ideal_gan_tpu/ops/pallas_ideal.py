@@ -56,6 +56,20 @@ def _row_tile(rows: int) -> int:
     return 8  # caller pads to a multiple of 8
 
 
+def _tile_rows(hgt: int, wdt: int, min_th: int) -> int:
+    """H-tile for blocking the native (H, W) layout: the largest multiple
+    of `min_th` (the dtype's physical sublane tile — 8 f32, 16 bf16) that
+    divides H, at or under the ~12k-element VMEM row budget. Returns 0
+    when H admits no such tile (caller takes the lane-flattening path)."""
+    target = max(_row_tile(hgt * max(wdt // LANES, 1)) * LANES
+                 // max(wdt, 1), min_th)
+    divs = [d for d in range(min_th, hgt + 1, min_th) if hgt % d == 0]
+    if not divs:
+        return 0
+    under = [d for d in divs if d <= target]
+    return max(under) if under else min(divs)
+
+
 def _pad_rows(x: jnp.ndarray, rows: int, mult: int) -> tuple[jnp.ndarray, int]:
     """Pad the second-to-last axis of (..., rows, LANES) to a multiple."""
     rem = rows % mult
@@ -234,12 +248,17 @@ def _launch(kernel, smem_args, vox_inputs, out_ks):
     """
     nb, _, hgt, wdt = vox_inputs[0][0].shape
     smem_specs = [_smem_spec(0) for _ in smem_args]
-    if wdt % LANES == 0 and hgt % 8 == 0:
-        th = _row_tile(hgt * (wdt // LANES)) * LANES // wdt
-        th = max(th, 8)
-        while hgt % th:
-            th //= 2
-        th = max(th, 8)
+    # bf16 inputs need 16-row blocks (the (16, 128) physical tile);
+    # shapes that can't provide them are upcast to f32 up front — the
+    # kernels upcast per-tile anyway, this just moves it ahead of the
+    # layout decision so no path emits a fractional-tile bf16 block.
+    any_bf16 = any(x.dtype == jnp.bfloat16 for x, _ in vox_inputs)
+    min_th = 16 if any_bf16 else 8
+    th = _tile_rows(hgt, wdt, min_th) if wdt % LANES == 0 else 0
+    if not th and any_bf16:
+        vox_inputs = [(x.astype(jnp.float32), k) for x, k in vox_inputs]
+        th = _tile_rows(hgt, wdt, 8) if wdt % LANES == 0 else 0
+    if th:
 
         def hw_spec(k):
             return pl.BlockSpec((1, k, th, wdt), lambda b, i: (b, 0, i, 0),
@@ -491,18 +510,16 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
     r2s = r2s[:, None]
     kernel = functools.partial(_fit_kernel, ne, ns, fm_sc, r2_sc, rho_sc,
                                uniform)
-    # Pick the H-tile for the native-(H, W) path: largest divisor of H at
-    # or under the VMEM row budget, but never below the dtype's minimum
-    # sublane tile (8 for f32; bf16 passed the %16 guard above, so 16
-    # always divides). If H has no divisor ≥ the minimum (e.g. H=12 f32),
-    # the native path can't tile it — use the lane-flattening fallback,
+    # Pick the H-tile for the native-(H, W) path: block sublane counts
+    # must be whole MULTIPLES of the dtype's physical tile (8 rows f32,
+    # 16 rows bf16 — a 24-row bf16 block is 1.5 tiles and does not lower
+    # on TPU) and must divide H; take the largest such divisor at or
+    # under the VMEM row budget. If H has none (e.g. H=12 f32), the
+    # native path can't tile it — use the lane-flattening fallback,
     # which relayouts+pads and is correct for any shape.
     min_th = 16 if (bf16_in or bf16_out) else 8
-    th = max(_row_tile(hgt * max(wdt // LANES, 1)) * LANES // max(wdt, 1),
-             min_th)
-    while hgt % th:
-        th //= 2
-    if wdt % LANES == 0 and th >= min_th:
+    th = _tile_rows(hgt, wdt, min_th)
+    if wdt % LANES == 0 and th:
         # Block straight over (H, W): flattening a (H, W) f32 array to
         # (H·W/128, 128) physically relayouts the (8, 128) tiling (a full
         # HBM copy, measured ≈40 % of fit time) — blocking the native
@@ -524,7 +541,21 @@ def fit_rho_planar(s_re, s_im, phi, r2s, te, field=1.5, r2_sc=R2_SC,
             interpret=_interpret(),
         )(te_flat, mp_scalars, s_re, s_im, phi, r2s)
 
-    # Generic fallback: flatten to lanes (relayout) + pad.
+    # Generic fallback: flatten to lanes (relayout) + pad. Unreachable
+    # with bf16 in/out given the (16, 128) guards above, but if a future
+    # edit re-opens a route here, degrade loudly to f32, never silently.
+    if bf16_out:
+        logging.getLogger(__name__).warning(
+            "fit_rho_planar: bf16 output requested but shape (H=%d, W=%d) "
+            "reached the lane-flattening fallback — storing f32 "
+            "(no bandwidth saving)", hgt, wdt)
+        out_dtype = jnp.float32
+    if bf16_in:
+        logging.getLogger(__name__).warning(
+            "fit_rho_planar: bf16 echo mode reached the lane-flattening "
+            "fallback for shape (H=%d, W=%d) — upcasting to f32 "
+            "(no bandwidth saving)", hgt, wdt)
+        s_re, s_im = s_re.astype(jnp.float32), s_im.astype(jnp.float32)
     s_re = s_re.reshape(nb, ne, -1, LANES)
     s_im = s_im.reshape(nb, ne, -1, LANES)
     phi = phi.reshape(nb, 1, -1, LANES)

@@ -215,6 +215,16 @@ class TestInfer:
         got, _ = infer_maps({**cfg, "infer_batch": 8}, acqs, te)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
 
+    def test_unknown_export_rejected(self, tmp_path):
+        # a typo'd --export must fail loudly, not run the whole cohort
+        # and exit 0 having written nothing
+        from ideal_gan_tpu.cli import infer
+        with pytest.raises(SystemExit, match="unknown --export"):
+            run_cli(infer, [
+                "--dataset", "t-infer-bad", "--synthetic", "2",
+                "--data_size", "32", "--export", "npzz",
+                "--output_base", str(tmp_path)])
+
     def test_dicom_export(self, tmp_path):
         from ideal_gan_tpu.cli import infer
         run_cli(infer, [

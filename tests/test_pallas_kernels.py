@@ -256,6 +256,41 @@ class TestPlanarFit:
             np.testing.assert_allclose(np.asarray(o, np.float32),
                                        np.asarray(r), atol=1e-2)
 
+    def test_tile_rows_selection(self):
+        # the H-tile must be a whole multiple of the dtype tile (8 f32 /
+        # 16 bf16) AND divide H — a 24-row bf16 block is 1.5 physical
+        # tiles and does not lower on TPU (round-3 review finding)
+        from ideal_gan_tpu.ops.pallas_ideal import _tile_rows
+        assert _tile_rows(1152, 384, 8) == 32   # 384² serving default
+        assert _tile_rows(96, 640, 16) == 16    # budget tile 19 → 16
+        assert _tile_rows(48, 512, 16) == 16    # budget tile 24 → 16
+        assert _tile_rows(12, 128, 8) == 0      # no divisor ≥ 8 → fallback
+        assert _tile_rows(40, 128, 16) == 0     # no 16-multiple divisor
+        assert _tile_rows(40, 128, 8) == 8
+
+    def test_bf16_output_offbudget_shapes_keep_dtype(self):
+        # H/W where the VMEM-budget tile is not a 16-multiple: the tile
+        # chooser must land on a 16-multiple divisor and keep the bf16
+        # output (previously these silently fell back to f32 or emitted
+        # fractional-tile blocks)
+        te = ph.te_train(6, bs=2)
+        for h, w in ((96, 640), (48, 512)):
+            maps_np = make_maps(h=h, w=w)
+            acqs = ph.synthesize(jnp.asarray(maps_np), te)
+            params = jnp.asarray(maps_np[:, 2:3])
+            ref = kops.fit_rho_planar(
+                acqs[..., 0], acqs[..., 1],
+                params[:, 0, ..., 0], params[:, 0, ..., 1], te)
+            out = kops.fit_rho_planar(
+                acqs[..., 0].astype(jnp.bfloat16),
+                acqs[..., 1].astype(jnp.bfloat16),
+                params[:, 0, ..., 0], params[:, 0, ..., 1], te,
+                out_dtype=jnp.bfloat16)
+            for o, r in zip(out, ref):
+                assert o.dtype == jnp.bfloat16, (h, w)
+                np.testing.assert_allclose(np.asarray(o, np.float32),
+                                           np.asarray(r), atol=1e-2)
+
     def test_bf16_output_unalignable_shape_falls_back(self, caplog):
         # H % 16 != 0 → bf16 stores can't tile; must fall back to f32
         # output with a LOGGED warning, never a silent slow/wrong path
