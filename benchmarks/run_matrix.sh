@@ -29,6 +29,9 @@ for fam in order:
     if merged is None:
         merged = dict(d, results=[])
     merged["results"].extend(d["results"])
+if merged is None:
+    # nothing ran (e.g. no TPU): do NOT clobber a previous good artifact
+    sys.exit(f"no family results under {tmp} — {out} left untouched")
 with open(out, "w") as f:
     json.dump(merged, f, indent=2)
     f.write("\n")

@@ -191,9 +191,26 @@ def pairwise_wilcoxon(values, groups, adjust: str = "holm",
             ma, mb = groups == uniq[i], groups == uniq[j]
             if pair_ids is not None:
                 ids_a, ids_b = pair_ids[ma], pair_ids[mb]
-                common = [pid for pid in ids_a if pid in set(ids_b)]
-                idx_a = {pid: k for k, pid in enumerate(ids_a)}
-                idx_b = {pid: k for k, pid in enumerate(ids_b)}
+                # duplicate keys within a group cannot be matched — a
+                # repeated id would pair the SAME row twice (inflating n
+                # and biasing the statistic); keep first occurrences and
+                # warn, mirroring the loud unequal-size branch below
+                for name, ids in ((uniq[i], ids_a), (uniq[j], ids_b)):
+                    n_dup = len(ids) - len(set(ids.tolist()))
+                    if n_dup:
+                        import warnings
+                        warnings.warn(
+                            f"pairwise_wilcoxon: group {name!r} has "
+                            f"{n_dup} duplicate pair_ids — only the "
+                            "first occurrence of each id is paired",
+                            stacklevel=2)
+                idx_a, idx_b = {}, {}
+                for k, pid in enumerate(ids_a):
+                    idx_a.setdefault(pid, k)
+                for k, pid in enumerate(ids_b):
+                    idx_b.setdefault(pid, k)
+                common = [pid for pid in dict.fromkeys(ids_a.tolist())
+                          if pid in idx_b]
                 a = values[ma][[idx_a[p] for p in common]]
                 b = values[mb][[idx_b[p] for p in common]]
             else:

@@ -41,7 +41,10 @@ def _make_remat(cls, **kw):
     return t
 
 
-_RematConvBlock = _make_remat(ConvBlock, static_argnums=(1,))
+# static_argnums indexes the bound call INCLUDING self (self=0, x=1,
+# train=2): train must stay static so configs that branch on it
+# (dropout > 0, batch_norm) survive the remat trace
+_RematConvBlock = _make_remat(ConvBlock, static_argnums=(2,))
 _RematConvLSTM = _make_remat(ConvLSTM)
 _RematUpsample = _make_remat(Upsample)
 

@@ -45,6 +45,18 @@ _log = logging.getLogger(__name__)
 _initialized = False
 
 
+def _tpu_present() -> bool:
+    """TPU hardware visible on this host, checked WITHOUT touching the
+    jax backend (device probes before jax.distributed.initialize() would
+    make multi-process init impossible): TPU chips appear as /dev/accel*
+    on Cloud TPU VMs; libtpu's presence is the fallback signal."""
+    import glob
+    import importlib.util
+    if glob.glob("/dev/accel*"):
+        return True
+    return importlib.util.find_spec("libtpu") is not None
+
+
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None,
@@ -76,10 +88,16 @@ def initialize_distributed(coordinator_address: str | None = None,
                             os.environ["LOCAL_DEVICE_IDS"].split(",")]
 
     if coordinator_address is None:
-        # No launcher env. On a real TPU pod slice, jax can auto-detect
-        # from TPU metadata; anywhere else stay single-process.
-        platform = os.environ.get("JAX_PLATFORMS", "")
-        if "tpu" in platform.lower():
+        # No launcher env. On a real TPU pod slice, jax auto-detects the
+        # topology from TPU metadata. Detection must NOT rely on
+        # JAX_PLATFORMS alone: on a standard Cloud TPU VM libtpu is
+        # auto-discovered and that variable is unset — gating on it would
+        # silently train an independent copy per host (each believing it
+        # is process 0). Attempt auto-init when the platform names tpu,
+        # or when it is unset and TPU hardware is visible; an explicitly
+        # non-TPU platform (cpu, axon, ...) stays single-process.
+        platform = os.environ.get("JAX_PLATFORMS", "").lower()
+        if "tpu" in platform or (not platform and _tpu_present()):
             try:
                 jax.distributed.initialize()
                 _initialized = True

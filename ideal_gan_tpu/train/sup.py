@@ -28,7 +28,7 @@ import optax
 from .. import physics
 from ..data import layouts
 from ..losses import l1_mean, total_variation_2d
-from ..models import MDWFNet, UNet
+from ..models import MDWFNet, UNet, VETNet
 from .common import linear_decay_schedule, make_adam
 
 DEFAULTS = dict(
@@ -58,12 +58,22 @@ def build_model(cfg):
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.get("bf16") else jnp.float32
     if cfg["G_model"] == "multi-decod":
-        return MDWFNet(filters=cfg["n_G_filters"],
-                       remat=cfg.get("remat", False),
-                       wf_self_attention=cfg["D1_SelfAttention"],
-                       r2_self_attention=cfg["D2_SelfAttention"],
-                       fm_self_attention=cfg["D3_SelfAttention"],
-                       dtype=dtype)
+        if cfg["out_vars"] == "WF-PM":
+            return MDWFNet(filters=cfg["n_G_filters"],
+                           remat=cfg.get("remat", False),
+                           wf_self_attention=cfg["D1_SelfAttention"],
+                           r2_self_attention=cfg["D2_SelfAttention"],
+                           fm_self_attention=cfg["D3_SelfAttention"],
+                           dtype=dtype)
+        # every other out_vars: the reference builds the 2-decoder
+        # PM_Generator (ME_layer=False), NOT the 3-decoder MDWF —
+        # train-sup.py:176-187 (D1→R2 attention, D2→FM attention)
+        return VETNet(me_layer=False, te_input=False, n_out=1,
+                      filters=cfg["n_G_filters"],
+                      remat=cfg.get("remat", False),
+                      r2_self_attention=cfg["D1_SelfAttention"],
+                      fm_self_attention=cfg["D2_SelfAttention"],
+                      dtype=dtype)
     if cfg["G_model"] == "U-Net":
         # head activations exactly as the reference (train-sup.py:193-204):
         # WFc → 4ch tanh, WF-PM → 4ch relu, WF/PM → 2ch relu (the

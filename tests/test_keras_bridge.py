@@ -91,6 +91,34 @@ class TestMultiDecoderBridge:
         _cmp(km([x, te], training=False),
              fm.apply(params, jnp.asarray(x), jnp.asarray(te), train=False))
 
+    def test_pm_generator_sup_non_me(self, ref):
+        # the reference's DEFAULT sup config (G_model=multi-decod,
+        # out_vars=WF/PM) builds the 2-decoder PM_Generator with
+        # ME_layer=False on legacy 4-D input (train-sup.py:183-187);
+        # sup.build_model must produce the matching Flax module and the
+        # converter must map it (round-3 review: this path previously
+        # returned the 3-decoder MDWFNet and could never convert)
+        from ideal_gan_tpu.train import sup
+        rng = np.random.default_rng(5)
+        ne = 6
+        x = rng.normal(size=(2, 32, 32, 2 * ne)).astype(np.float32)
+        from ideal_gan_tpu.models import VETNet
+        km = ref.PM_Generator((32, 32, 2 * ne), ME_layer=False,
+                              filters=8, num_layers=2,
+                              R2_self_attention=False,
+                              FM_self_attention=True)
+        built = sup.build_model({**sup.DEFAULTS, "out_vars": "PM",
+                                 "n_G_filters": 8})
+        assert isinstance(built, VETNet)
+        assert not built.me_layer and not built.te_input
+        assert not built.r2_self_attention and built.fm_self_attention
+        fm = VETNet(me_layer=False, te_input=False, n_out=1, filters=8,
+                    num_layers=2, r2_self_attention=False,
+                    fm_self_attention=True)
+        params = convert_pm_generator(km, fm, jnp.asarray(x))
+        _cmp(km(x, training=False),
+             fm.apply(params, jnp.asarray(x), train=False))
+
     def test_pm_generator_vet(self, ref):
         from ideal_gan_tpu.models import VETNet
         rng = np.random.default_rng(4)

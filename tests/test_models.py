@@ -242,3 +242,21 @@ class TestRemat:
                               jax.tree_util.tree_leaves(gb)):
                 np.testing.assert_array_equal(np.asarray(x1),
                                               np.asarray(x2))
+
+    def test_remat_train_flag_stays_static(self):
+        """`train` must be a STATIC arg of the remat'ed blocks: configs
+        that branch on it (dropout > 0, batch_norm) crashed with
+        TracerBoolConversionError when static_argnums pointed at x
+        (round-3 review finding)."""
+        from ideal_gan_tpu.models.unet import _maybe_remat
+        x = jnp.ones((1, 8, 8, 2))
+        Block, _, _ = _maybe_remat(True)
+        for kw, rngs in ((dict(dropout=0.5),
+                          {"dropout": jax.random.PRNGKey(2)}),
+                         (dict(norm="batch_norm"), {})):
+            m = Block(4, **kw)
+            v = m.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, True)
+            out, _ = m.apply(v, x, True, rngs=rngs,
+                             mutable=["batch_stats"])
+            assert np.isfinite(np.asarray(out)).all()

@@ -20,6 +20,37 @@ from ideal_gan_tpu.parallel import process_batch_slice
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+class TestPodDetection:
+    def test_autoinit_not_gated_on_jax_platforms(self, monkeypatch):
+        """On a real TPU VM JAX_PLATFORMS is normally UNSET — pod
+        auto-detection must key on visible TPU hardware, not on the env
+        var (round-3 review finding: gating on the var silently trained
+        an independent copy per host). Verified via the decision logic:
+        unset platform + TPU present → auto-init attempted; explicit
+        non-TPU platform → never attempted."""
+        from ideal_gan_tpu.parallel import multihost as mh
+        calls = []
+        monkeypatch.setattr(mh, "_initialized", False)
+        monkeypatch.setattr(
+            mh.jax.distributed, "initialize",
+            lambda *a, **k: calls.append(k) or (_ for _ in ()).throw(
+                RuntimeError("stub")))
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        # explicit non-TPU platform: no attempt even with hardware
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setattr(mh, "_tpu_present", lambda: True)
+        assert mh.initialize_distributed() is False
+        assert calls == []
+        # unset platform + TPU present: attempt (stub raises → False)
+        monkeypatch.setenv("JAX_PLATFORMS", "")
+        assert mh.initialize_distributed() is False
+        assert len(calls) == 1
+        # unset platform, no TPU: no attempt
+        monkeypatch.setattr(mh, "_tpu_present", lambda: False)
+        assert mh.initialize_distributed() is False
+        assert len(calls) == 1
+
+
 class TestSingleProcessSemantics:
     def test_process_batch_slice(self):
         # single process: the whole batch

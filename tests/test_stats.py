@@ -121,6 +121,16 @@ class TestRegressionTests:
         assert rows[0]["n"] == 20
         assert rows[0]["p"] < 1e-4
 
+    def test_pairwise_wilcoxon_duplicate_pair_ids_warn(self):
+        # a repeated id within a group must not silently pair the same
+        # row twice — first occurrence wins, with a warning
+        values = np.array([1.0, 2.0, 3.0, 1.5, 2.5, 3.5])
+        groups = np.array(["a"] * 3 + ["b"] * 3)
+        pair_ids = np.array([0, 0, 1, 0, 1, 2])  # id 0 duplicated in a
+        with pytest.warns(UserWarning, match="duplicate pair_ids"):
+            rows = st.pairwise_wilcoxon(values, groups, pair_ids=pair_ids)
+        assert rows[0]["n"] == 2  # ids {0, 1} once each
+
     def test_extreme_outliers_rule(self):
         x = np.array([1.0, 2, 3, 4, 5, 100.0])
         mask = st.extreme_outliers(x)
