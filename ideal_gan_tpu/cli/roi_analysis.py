@@ -225,9 +225,17 @@ def make_infer_run(cfg, acqs):
         from ..data import layouts
         from ..train import sup
         scfg = dict(sup.DEFAULTS)
-        scfg["G_model"] = "U-Net" if sel == "U-Net" else "multi-decod"
         if exp_cfg:
             scfg.update({k: v for k, v in exp_cfg.items() if k in scfg})
+        # the selector DEFINES the architecture (reference ROI-analysis.py
+        # builds it from model_sel, not from the experiment settings):
+        # MDWF must pin out_vars=WF-PM too, or sup.build_model would hand
+        # back the 2-decoder PM generator for a WF-default settings.yml
+        # and this branch's [WF, R2*, FM] slicing would read R2*/FM as
+        # water/fat
+        scfg["G_model"] = "U-Net" if sel == "U-Net" else "multi-decod"
+        if sel == "MDWF":
+            scfg["out_vars"] = "WF-PM"
         model = sup.build_model(scfg)
         step_fn, tx = sup.make_train_step(scfg, model)
         state = _restore(cfg, sup.init_state(scfg, model, tx, key, acqs[:1]))

@@ -185,25 +185,25 @@ def pairwise_wilcoxon(values, groups, adjust: str = "holm",
     groups = np.asarray(groups)
     pair_ids = None if pair_ids is None else np.asarray(pair_ids)
     uniq = list(np.unique(groups))
+    if pair_ids is not None:
+        # duplicate keys within a group cannot be matched — a repeated id
+        # would pair the SAME row twice (inflating n and biasing the
+        # statistic); warn once per offending group, up front
+        for name in uniq:
+            ids = pair_ids[groups == name]
+            n_dup = len(ids) - len(set(ids.tolist()))
+            if n_dup:
+                import warnings
+                warnings.warn(
+                    f"pairwise_wilcoxon: group {name!r} has {n_dup} "
+                    "duplicate pair_ids — only the first occurrence of "
+                    "each id is paired", stacklevel=2)
     rows = []
     for i in range(len(uniq)):
         for j in range(i + 1, len(uniq)):
             ma, mb = groups == uniq[i], groups == uniq[j]
             if pair_ids is not None:
                 ids_a, ids_b = pair_ids[ma], pair_ids[mb]
-                # duplicate keys within a group cannot be matched — a
-                # repeated id would pair the SAME row twice (inflating n
-                # and biasing the statistic); keep first occurrences and
-                # warn, mirroring the loud unequal-size branch below
-                for name, ids in ((uniq[i], ids_a), (uniq[j], ids_b)):
-                    n_dup = len(ids) - len(set(ids.tolist()))
-                    if n_dup:
-                        import warnings
-                        warnings.warn(
-                            f"pairwise_wilcoxon: group {name!r} has "
-                            f"{n_dup} duplicate pair_ids — only the "
-                            "first occurrence of each id is paired",
-                            stacklevel=2)
                 idx_a, idx_b = {}, {}
                 for k, pid in enumerate(ids_a):
                     idx_a.setdefault(pid, k)

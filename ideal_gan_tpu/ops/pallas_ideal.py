@@ -63,11 +63,13 @@ def _tile_rows(hgt: int, wdt: int, min_th: int) -> int:
     when H admits no such tile (caller takes the lane-flattening path)."""
     target = max(_row_tile(hgt * max(wdt // LANES, 1)) * LANES
                  // max(wdt, 1), min_th)
-    divs = [d for d in range(min_th, hgt + 1, min_th) if hgt % d == 0]
-    if not divs:
+    if hgt % min_th:
         return 0
-    under = [d for d in divs if d <= target]
-    return max(under) if under else min(divs)
+    # min_th itself always qualifies (it divides hgt and ≤ target), so a
+    # valid tile exists whenever the guard above passes
+    under = [d for d in range(min_th, hgt + 1, min_th)
+             if hgt % d == 0 and d <= target]
+    return max(under)
 
 
 def _pad_rows(x: jnp.ndarray, rows: int, mult: int) -> tuple[jnp.ndarray, int]:
@@ -256,6 +258,12 @@ def _launch(kernel, smem_args, vox_inputs, out_ks):
     min_th = 16 if any_bf16 else 8
     th = _tile_rows(hgt, wdt, min_th) if wdt % LANES == 0 else 0
     if not th and any_bf16:
+        # loud, like fit_rho_planar's fallbacks: the caller asked for the
+        # bandwidth-saving mode and is getting f32 performance
+        logging.getLogger(__name__).warning(
+            "pallas launch: bf16 inputs but shape (H=%d, W=%d) cannot "
+            "block on the (16, 128) bf16 tile — upcasting to f32 "
+            "(no bandwidth saving)", hgt, wdt)
         vox_inputs = [(x.astype(jnp.float32), k) for x, k in vox_inputs]
         th = _tile_rows(hgt, wdt, 8) if wdt % LANES == 0 else 0
     if th:

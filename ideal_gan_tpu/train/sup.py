@@ -65,9 +65,22 @@ def build_model(cfg):
                            r2_self_attention=cfg["D2_SelfAttention"],
                            fm_self_attention=cfg["D3_SelfAttention"],
                            dtype=dtype)
+        if cfg["out_vars"] == "WFc":
+            # the reference also cannot run this combination: train_G's
+            # WFc branch slices 4 channels from PM_Generator's 2-channel
+            # output (train-sup.py:272-275 vs :183-187) — reject with a
+            # clear error instead of a broadcast failure
+            raise NameError("out_vars='WFc' requires G_model='U-Net' "
+                            "(the reference's multi-decod generator has "
+                            "2 output channels; its WFc branch crashes)")
         # every other out_vars: the reference builds the 2-decoder
         # PM_Generator (ME_layer=False), NOT the 3-decoder MDWF —
-        # train-sup.py:176-187 (D1→R2 attention, D2→FM attention)
+        # train-sup.py:176-187 (D1→R2 attention, D2→FM attention).
+        # Reference quirk kept: with out_vars='WF' (the reference
+        # DEFAULT) train_G trains these (R2*, FM) heads directly against
+        # |W|,|F| targets (train-sup.py:253-257) — degenerate, but it is
+        # what the reference runs; meaningful multi-decod configs are
+        # out_vars='PM' / 'WF-PM'.
         return VETNet(me_layer=False, te_input=False, n_out=1,
                       filters=cfg["n_G_filters"],
                       remat=cfg.get("remat", False),

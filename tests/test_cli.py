@@ -106,7 +106,7 @@ class TestCLIs:
         assert (tmp_path / "t-phantom" / "ROI_phantom.xlsx").exists()
 
     @pytest.mark.parametrize("model_sel", ["AI-DEAL", "VET-Net", "Mag",
-                                           "U-Net", "2D-Net"])
+                                           "U-Net", "2D-Net", "MDWF"])
     def test_roi_realphantom_model_zoo(self, tmp_path, model_sel):
         """Model-zoo dispatch on the phantom (reference
         ROI-realPhantom.py:100-250): trained checkpoints (here: fresh
