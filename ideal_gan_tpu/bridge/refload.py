@@ -184,6 +184,17 @@ def load_reference_dlmodule(ref_root: str = "/root/reference"):
     `tf` global is swapped for a Keras-3 compatibility proxy (see
     `_keras3_tf_proxy`)."""
     install_tf_shims()
+    # Pin TF numerics: the parity suites compare forwards at 2e-4 and
+    # per-leaf grads at 0.5%, but TF's CPU conv/norm reductions
+    # reassociate with thread scheduling and can move results by ~1e-2
+    # relative between identical runs. Determinism makes the reference
+    # side reproducible so the bounds measure the bridge, not TF's
+    # scheduler. Idempotent; only affects ops executed afterwards.
+    import tensorflow as tf
+    try:
+        tf.config.experimental.enable_op_determinism()
+    except Exception:  # very old TF: keep going without the pin
+        pass
     ref_root = os.path.abspath(ref_root)
     if ref_root not in sys.path:
         sys.path.insert(0, ref_root)  # wflib import inside DLlib.module
