@@ -136,6 +136,10 @@ class TestDiffusion:
 
     def test_reverse_step_parity_vs_reference(self):
         tf = pytest.importorskip("tensorflow")
+        # the bridge pins TF op determinism at reference load (refload);
+        # the reference ddpm draws tf.random.normal (zeroed by β=0 here),
+        # which under determinism requires a seed to be legal
+        tf.keras.utils.set_random_seed(0)
         if "/root/reference" not in sys.path:
             sys.path.insert(0, "/root/reference")
         dmref = pytest.importorskip("DMlib")
