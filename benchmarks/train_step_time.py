@@ -174,15 +174,23 @@ def main():
                    {"note": "cycle kernel fwd+bwd only"})
 
     if "sup" in selected:
-        for bf16 in (False, True):
-            cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"), batch_size=nb,
-                       epochs=1, out_vars="PM", bf16=bf16)
-            model = sup.build_model(cfg)
-            step, tx = sup.make_train_step(cfg, model)
-            state = sup.init_state(cfg, model, tx, key, acqs[:1])
-            bench("sup (PM)" + (" bf16" if bf16 else ""), step, state,
-                  (jnp.asarray(acqs), jnp.asarray(maps), jnp.asarray(te)),
-                  extra={"filters": width("sup")})
+        # two architectures per the reference's generator selection
+        # (train-sup.py:176-187): out_vars=PM → 2-decoder PM_Generator
+        # (the reference-default multi-decod path), WF-PM → 3-decoder
+        # MDWF (comparable to the pre-r3 sup rows, which measured MDWF)
+        for out_vars in ("PM", "WF-PM"):
+            for bf16 in (False, True):
+                cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"),
+                           batch_size=nb, epochs=1, out_vars=out_vars,
+                           bf16=bf16)
+                model = sup.build_model(cfg)
+                step, tx = sup.make_train_step(cfg, model)
+                state = sup.init_state(cfg, model, tx, key, acqs[:1])
+                bench(f"sup ({out_vars})" + (" bf16" if bf16 else ""),
+                      step, state,
+                      (jnp.asarray(acqs), jnp.asarray(maps),
+                       jnp.asarray(te)),
+                      extra={"filters": width("sup")})
 
     if "unsup" in selected:
         for bf16, fused in ((False, True), (True, True), (False, False)):
