@@ -57,6 +57,108 @@ def device_lane(ev, names):
     return proc, thread
 
 
+def parse_hlo_categories(hlo_text):
+    """Map every instruction name in the optimized HLO module to a compute
+    category, so trace op names (``fusion.265``) become attributable.
+
+    Fusions are classified by the opcodes inside the fused computation they
+    call (a fusion containing a convolution is MXU work no matter what
+    elementwise ops ride along); everything else by its own opcode.
+    Categories: conv (MXU), reduce (norm statistics / loss reductions),
+    elementwise (VPU), convert/copy (layout + precision traffic), other.
+    """
+    import re
+
+    # 1. opcodes inside each computation body. Header param shapes can
+    # themselves contain parens (tiled layouts: bf16[...]{...T(8,128)(2,1)}),
+    # so the param list is matched greedily up to the final ") -> ".
+    comp_ops = {}
+    current = None
+    for line in hlo_text.splitlines():
+        m = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->\s*.*\{",
+                     line.strip())
+        if m:
+            current = m.group(1)
+            comp_ops[current] = set()
+            continue
+        if current is None:
+            continue
+        if line.strip() == "}":
+            current = None
+            continue
+        # type is a plain shape (f32[8,384,384,72]{...}) or a tuple
+        # "(f32[...], f32[...])"; both can embed parens in tiled layouts
+        # (…:T(8,128)(2,1)), so skip the type non-greedily — the first
+        # lowercase word followed by '(' after '= ' is the opcode
+        m = re.search(r"=\s+.*?\b([a-z][\w\-]*)\(", line)
+        if m:
+            comp_ops[current].add(m.group(1))
+
+    def ops_to_cat(ops):
+        if "convolution" in ops:
+            return "conv"
+        if "dot" in ops:
+            return "matmul"
+        if ops & {"reduce", "reduce-window"}:
+            return "reduce"
+        if ops and ops <= {"convert", "copy", "bitcast", "transpose",
+                           "reshape", "bitcast-convert"}:
+            return "convert/copy"
+        if ops:
+            return "elementwise"
+        return "other"
+
+    # 2. fusion instructions -> category of their called computation; keyed
+    # both by the exact instruction name and by the name with `.clone`
+    # suffixes stripped (trace names and HLO names disagree on cloning)
+    instr_cat = {}
+    for m in re.finditer(
+            r"%([\w.\-]+)\s+=\s+[^\n]*?\bfusion\("
+            r"[^\n]*?calls=%([\w.\-]+)",
+            hlo_text):
+        cat = ops_to_cat(comp_ops.get(m.group(2), set()))
+        instr_cat[m.group(1)] = cat
+        base = re.sub(r"\.clone(\.\d+)*", "", m.group(1))
+        instr_cat.setdefault(base, cat)
+    return instr_cat
+
+
+def categorize_trace_name(name, instr_cat):
+    """Category for a trace event name (HLO instruction without '%')."""
+    import re
+    if name in instr_cat:
+        return instr_cat[name]
+    stripped = re.sub(r"\.clone(\.\d+)*", "", name)
+    if stripped in instr_cat:
+        return instr_cat[stripped]
+    base = name.split("(")[0]  # jit_train_step(123...) -> jit_train_step
+    if base.startswith("jit_") or base.startswith("pjit"):
+        return None  # module-level span: would double-count its children
+    root = base.split(".")[0]
+    if root in ("convolution", "custom-call"):
+        return "conv"
+    if root == "dot":
+        return "matmul"
+    # named fusions carry their seed ops in the name (XLA naming pass):
+    # loop_convolution_fusion / convert_reduce_fusion / input_reduce_fusion
+    toks = set(root.split("_"))
+    if "convolution" in toks:
+        return "conv"
+    if "dot" in toks:
+        return "matmul"
+    if toks & {"reduce", "scatter"}:
+        return "reduce"
+    if root.startswith("reduce"):
+        return "reduce"
+    if root in ("convert", "copy", "copy-start", "copy-done", "bitcast",
+                "transpose", "reshape"):
+        return "convert/copy"
+    if root.endswith("fusion") or root == "fusion":
+        return "elementwise" if toks & {"convert", "select", "add",
+                                        "multiply", "loop"} else "other"
+    return "elementwise" if root.isidentifier() else "other"
+
+
 def summarize(events, names, top=25, lane_filter=None):
     """Group device-side events by op name; return rows ranked by total
     duration. Host python/runtime lanes are skipped (they overlap device
@@ -79,7 +181,7 @@ def summarize(events, names, top=25, lane_filter=None):
         per_op[ev.get("name", "?")][0] += dur
         per_op[ev.get("name", "?")][1] += 1
     rows = sorted(per_op.items(), key=lambda kv: -kv[1][0])
-    return rows[:top], lanes
+    return rows, lanes
 
 
 def main():
@@ -161,7 +263,15 @@ def main():
         state = tr.init_state(cfg, g_fm, g_r2, tx, key, acqs[:1])
         batch = (jnp.asarray(acqs), jnp.asarray(te))
 
-    # compile outside the trace
+    # lower + compile outside the trace; keep the optimized HLO so trace
+    # fusion names can be attributed to compute categories (lower BEFORE
+    # the warmup call — donation consumes `state`'s buffers)
+    instr_cat = {}
+    try:
+        hlo_text = step.lower(state, batch, key).compile().as_text()
+        instr_cat = parse_hlo_categories(hlo_text)
+    except Exception as e:
+        print(f"(hlo categorization unavailable: {type(e).__name__}: {e})")
     state, m = step(state, batch, key)
     jax.block_until_ready(m["G_loss"])
 
@@ -174,7 +284,6 @@ def main():
     events, names = load_trace_events(prof_dir)
     rows, lanes = summarize(events, names, top=args.top,
                             lane_filter=args.lane or None)
-    total = sum(d for _, (d, _) in rows) or 1.0
     print(f"{args.trainer} step @ {h}^2 b{nb} "
           f"{'bf16' if args.bf16 else 'f32'} x{args.iters} iters")
     if not rows:
@@ -182,12 +291,30 @@ def main():
         for lane, n in lanes.most_common(20):
             print(f"  {lane}: {n} events")
         return
-    print(f"{'op':60s} {'ms':>9s} {'calls':>6s} {'share':>7s}")
-    for name, (dur, cnt) in rows:
-        print(f"{name[:60]:60s} {dur / 1e3:9.2f} {cnt:6d} "
-              f"{100 * dur / total:6.1f}%")
-    print(f"\n(total listed: {total / 1e3:.1f} ms over {args.iters} iters; "
-          f"profile dir: {prof_dir})")
+
+    # split module-level spans (jit_train_step) from real ops: the span
+    # covers its children, so it enters neither shares nor categories
+    cat_of = {name: categorize_trace_name(name, instr_cat)
+              for name, _ in rows}
+    spans = [(n, dc) for n, dc in rows if cat_of[n] is None]
+    ops = [(n, dc) for n, dc in rows if cat_of[n] is not None]
+    total = sum(d for _, (d, _) in ops) or 1.0
+
+    print(f"{'op':52s} {'cat':>12s} {'ms':>9s} {'calls':>6s} {'share':>7s}")
+    for name, (dur, cnt) in ops[:args.top]:
+        print(f"{name[:52]:52s} {cat_of[name]:>12s} {dur / 1e3:9.2f} "
+              f"{cnt:6d} {100 * dur / total:6.1f}%")
+
+    cats = collections.defaultdict(float)
+    for name, (dur, _) in ops:
+        cats[cat_of[name]] += dur
+    print("\ncategory breakdown (all device ops):")
+    for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:12s} {dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%")
+    for name, (dur, cnt) in spans:
+        print(f"(module span {name[:48]}: {dur / 1e3:.1f} ms / {cnt} calls)")
+    print(f"(op total: {total / 1e3:.1f} ms over {args.iters} iters; "
+          f"hlo-mapped fusions: {len(instr_cat)}; profile dir: {prof_dir})")
 
 
 if __name__ == "__main__":
