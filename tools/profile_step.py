@@ -17,6 +17,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 import tempfile
 
@@ -110,17 +111,25 @@ def parse_hlo_categories(hlo_text):
 
     # 2. fusion instructions -> category of their called computation; keyed
     # both by the exact instruction name and by the name with `.clone`
-    # suffixes stripped (trace names and HLO names disagree on cloning)
-    instr_cat = {}
+    # suffixes stripped (trace names and HLO names disagree on cloning).
+    # Also keep each fusion's op_name metadata: the jaxpr source path
+    # ("jit(train_step)/.../ConvBlock_3/conv/conv_general_dilated") that
+    # attributes the op to model code.
+    instr_cat, instr_src = {}, {}
     for m in re.finditer(
-            r"%([\w.\-]+)\s+=\s+[^\n]*?\bfusion\("
-            r"[^\n]*?calls=%([\w.\-]+)",
+            r"%([\w.\-]+)\s+=\s+([^\n]*?)\bfusion\("
+            r"[^\n]*?calls=%([\w.\-]+)([^\n]*)",
             hlo_text):
-        cat = ops_to_cat(comp_ops.get(m.group(2), set()))
+        cat = ops_to_cat(comp_ops.get(m.group(3), set()))
+        src = re.search(r'op_name="([^"]+)"', m.group(4))
         instr_cat[m.group(1)] = cat
+        if src:
+            instr_src[m.group(1)] = src.group(1)
         base = re.sub(r"\.clone(\.\d+)*", "", m.group(1))
         instr_cat.setdefault(base, cat)
-    return instr_cat
+        if src:
+            instr_src.setdefault(base, src.group(1))
+    return instr_cat, instr_src
 
 
 def categorize_trace_name(name, instr_cat):
@@ -266,10 +275,10 @@ def main():
     # lower + compile outside the trace; keep the optimized HLO so trace
     # fusion names can be attributed to compute categories (lower BEFORE
     # the warmup call — donation consumes `state`'s buffers)
-    instr_cat = {}
+    instr_cat, instr_src = {}, {}
     try:
         hlo_text = step.lower(state, batch, key).compile().as_text()
-        instr_cat = parse_hlo_categories(hlo_text)
+        instr_cat, instr_src = parse_hlo_categories(hlo_text)
     except Exception as e:
         print(f"(hlo categorization unavailable: {type(e).__name__}: {e})")
     state, m = step(state, batch, key)
@@ -304,6 +313,10 @@ def main():
     for name, (dur, cnt) in ops[:args.top]:
         print(f"{name[:52]:52s} {cat_of[name]:>12s} {dur / 1e3:9.2f} "
               f"{cnt:6d} {100 * dur / total:6.1f}%")
+        src = instr_src.get(name) or instr_src.get(
+            re.sub(r"\.clone(\.\d+)*", "", name))
+        if src:
+            print(f"    ↳ {src[-100:]}")
 
     cats = collections.defaultdict(float)
     for name, (dur, _) in ops:
