@@ -8,16 +8,104 @@ reference overrides keras' default tanh with leaky_relu.
 
 The echo loop is a compile-time python loop (ne ≤ 12, static) — XLA sees a
 short chain of convs, no dynamic control flow.
+
+TPU scheduling (round-4 profile-driven redesign; docs/DESIGN.md):
+
+- **One conv per echo.** The input and recurrent projections run as a
+  single convolution over ``concat([x_e, hidden])`` with the two kernels
+  concatenated along the input-channel axis — mathematically identical to
+  ``conv_x(x_e) + conv_h(hidden)`` but it removes the separate gates-add
+  pass over the (nb, H, W, 4F) tensor (≈300 MB at 384²·b8·F32 per echo,
+  measured ~11 ms/step of pure HBM traffic on the unsup trainer) and
+  halves the number of backward conv launches. The parameter tree keeps
+  the reference-compatible ``input_conv``/``recurrent_conv`` split
+  (kernels are concatenated at apply time), so keras ConvLSTM2D bridging
+  and existing checkpoints are unaffected.
+- **Rematerialized pointwise cell (custom_vjp).** The gate
+  nonlinearities + state update form a `jax.custom_vjp` whose backward
+  recomputes them from (gates, bias, cell) via plain `jax.vjp` instead
+  of having autodiff save every intermediate activation tensor per echo
+  — the linearization residuals (i/f/o/act(g)/act(c)… ≈ 6×75 MB per
+  echo) were the dominant HBM cost of the backward (measured ~18
+  ms/step of `mul` fusions). The bias add lives inside the cell so its
+  gradient reduce fuses with the gate gradients instead of re-reading
+  them from HBM. (`jax.checkpoint` was tried first and rejected: its
+  optimization_barrier splits the backward into one HBM round-trip per
+  intermediate — measured 3× the elementwise time.)
 """
 
 from __future__ import annotations
 
-from typing import Any
+import functools
+from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .blocks import get_activation
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only holder producing the same {kernel[, bias]} leaves
+    as the nn.Conv submodules the merged ConvLSTM replaced (checkpoint /
+    bridge compatibility)."""
+
+    shape: tuple  # (kh, kw, in, out)
+    kernel_init: Callable
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
+def _cell_math(gates, bias, cell, act, rec_act):
+    """LSTM state update from pre-activation gates (packed i, f, g, o —
+    keras ConvLSTM2D order)."""
+    g = gates + bias
+    i, f, gg, o = jnp.split(g, 4, axis=-1)
+    i = rec_act(i)
+    f = rec_act(f)
+    o = rec_act(o)
+    cell = f * cell + i * act(gg)
+    hidden = o * act(cell)
+    return hidden, cell
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _cell(gates, bias, cell, act_name, rec_act_name):
+    return _cell_math(gates, bias, cell, get_activation(act_name),
+                      get_activation(rec_act_name))
+
+
+def _cell_fwd(gates, bias, cell, act_name, rec_act_name):
+    out = _cell(gates, bias, cell, act_name, rec_act_name)
+    return out, (gates, bias, cell)
+
+
+def _cell_bwd(act_name, rec_act_name, res, ct):
+    # Rematerialize from (gates, bias, cell) via plain jax.vjp: XLA fuses
+    # the recompute + gradient into one elementwise pass, and the bias
+    # gradient's reduce fuses with the dgates producer. NOTE: this is
+    # deliberately NOT jax.checkpoint — its optimization_barrier around
+    # the residuals splits the backward into one HBM round-trip per
+    # intermediate (measured 3× the elementwise time of this form).
+    gates, bias, cell = res
+    act = get_activation(act_name)
+    rec_act = get_activation(rec_act_name)
+    _, vjp = jax.vjp(
+        lambda g, b, c: _cell_math(g, b, c, act, rec_act),
+        gates, bias, cell)
+    return vjp(ct)
+
+
+_cell.defvjp(_cell_fwd, _cell_bwd)
 
 
 class ConvLSTM(nn.Module):
@@ -30,23 +118,27 @@ class ConvLSTM(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (nb, ne, H, W, C)
-        nb, ne, h, w, _ = x.shape
-        act = get_activation(self.activation)
-        rec_act = get_activation(self.recurrent_activation)
-        conv_x = nn.Conv(4 * self.filters, self.kernel_size,
-                         kernel_init=nn.initializers.he_normal(),
-                         dtype=self.dtype, name="input_conv")
-        conv_h = nn.Conv(4 * self.filters, self.kernel_size, use_bias=False,
-                         kernel_init=nn.initializers.orthogonal(),
-                         dtype=self.dtype, name="recurrent_conv")
+        nb, ne, h, w, cin = x.shape
+        kh, kw = self.kernel_size
+        k_x, bias = _ConvParams((kh, kw, cin, 4 * self.filters),
+                                nn.initializers.he_normal(), use_bias=True,
+                                name="input_conv")()
+        k_h, _ = _ConvParams((kh, kw, self.filters, 4 * self.filters),
+                             nn.initializers.orthogonal(),
+                             name="recurrent_conv")()
+        k_merged = jnp.concatenate([k_x, k_h], axis=2).astype(self.dtype)
+        bias = bias.astype(self.dtype)
+
         hidden = jnp.zeros((nb, h, w, self.filters), self.dtype)
         cell = jnp.zeros((nb, h, w, self.filters), self.dtype)
+        dn = lax.conv_dimension_numbers(
+            (nb, h, w, cin + self.filters), k_merged.shape,
+            ("NHWC", "HWIO", "NHWC"))
         for e in range(ne):
-            gates = conv_x(x[:, e]) + conv_h(hidden)
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i = rec_act(i)
-            f = rec_act(f)
-            o = rec_act(o)
-            cell = f * cell + i * act(g)
-            hidden = o * act(cell)
+            inp = jnp.concatenate([x[:, e].astype(self.dtype), hidden],
+                                  axis=-1)
+            gates = lax.conv_general_dilated(inp, k_merged, (1, 1), "SAME",
+                                             dimension_numbers=dn)
+            hidden, cell = _cell(gates, bias, cell, self.activation,
+                                 self.recurrent_activation)
         return hidden

@@ -168,6 +168,24 @@ def categorize_trace_name(name, instr_cat):
     return "elementwise" if root.isidentifier() else "other"
 
 
+def module_of(src):
+    """Collapse a jaxpr source path to (module, direction) — the unit of
+    the attribution table. 'transpose(jvp(...))' spans are backward ops,
+    plain 'jvp'/'jit' spans forward; the module is the first named Flax
+    submodule on the path (ConvLSTM_0 / ConvBlock_3 / dec_fm / ...), or
+    the leading primitive for physics/optimizer ops outside any module."""
+    direction = "bwd" if "transpose(" in src else "fwd"
+    parts = src.split("/")
+    for i, p in enumerate(parts[1:], 1):
+        if "(" in p:
+            continue
+        # a submodule name, not the primitive leaf itself
+        if i < len(parts) - 1 or not p.islower():
+            return p, direction
+        break
+    return "<top-level>", direction
+
+
 def summarize(events, names, top=25, lane_filter=None):
     """Group device-side events by op name; return rows ranked by total
     duration. Host python/runtime lanes are skipped (they overlap device
@@ -196,7 +214,8 @@ def summarize(events, names, top=25, lane_filter=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trainer", default="unsup",
-                    choices=["sup", "unsup", "teaug", "mag", "single"])
+                    choices=["sup", "unsup", "teaug", "mag", "single",
+                             "gan"])
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--filters", type=int, default=0,
@@ -263,6 +282,53 @@ def main():
         state = tr.init_state(cfg, g_mag, g_pha, tx, key, h=h, w=h)
         batch = (jnp.asarray(acqs[:1]), jnp.asarray(maps[:1]),
                  jnp.asarray(te[:1]))
+    elif args.trainer == "gan":
+        # PI-VAE adversarial g+d pair at the bench harness's batch-2
+        # operating point (benchmarks/train_step_time.py gan section)
+        from ideal_gan_tpu.train import gan as tr
+        gb = min(nb, 2)
+        ff = rng.uniform(0, 0.6, (nb, h, h)).astype(np.float32)
+        pd = rng.uniform(0.3, 0.9, (nb, h, h)).astype(np.float32)
+        zeros = np.zeros_like(ff)
+        b_mag = np.stack([
+            np.stack([ff, zeros], -1),
+            np.stack([pd, rng.uniform(0, .4, (nb, h, h)).astype(np.float32)],
+                     -1),
+            np.stack([rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32),
+                      rng.uniform(-.2, .2, (nb, h, h)).astype(np.float32)],
+                     -1)], 1).astype(np.float32)
+        A_mag = np.asarray(jax.jit(ph.synthesize_mag)(jnp.asarray(b_mag),
+                                                      jnp.asarray(te)))
+        cfg = dict(tr.DEFAULTS, batch_size=gb, epochs=1, adv_train=True,
+                   A_loss="pix-wise", bf16=args.bf16)
+        models = tr.build_models(cfg)
+        g_step, d_step, txs = tr.make_train_steps(cfg, models)
+        state = tr.init_state(cfg, models, txs, key, A_mag[:1])
+        gbatch = (jnp.asarray(A_mag[:gb]), jnp.asarray(b_mag[:gb]),
+                  jnp.asarray(te[:gb]))
+        instr_cat, instr_src = {}, {}
+        try:
+            hlo = g_step.lower(state, gbatch, key).compile().as_text()
+            c1, s1 = parse_hlo_categories(hlo)
+            state, gm, fake = g_step(state, gbatch, key)
+            hlo = d_step.lower(state, gbatch[0], fake).compile().as_text()
+            c2, s2 = parse_hlo_categories(hlo)
+            instr_cat = {**c1, **c2}
+            instr_src = {**s1, **s2}
+        except Exception as e:
+            print(f"(hlo categorization unavailable: "
+                  f"{type(e).__name__}: {e})")
+            state, gm, fake = g_step(state, gbatch, key)
+        state, dm_ = d_step(state, gbatch[0], fake)
+        jax.block_until_ready(dm_["D_loss"])
+        prof_dir = args.dir or tempfile.mkdtemp(prefix="profstep_")
+        with jax.profiler.trace(prof_dir):
+            for _ in range(args.iters):
+                state, gm, fake = g_step(state, gbatch, key)
+                state, dm_ = d_step(state, gbatch[0], fake)
+            jax.block_until_ready(dm_["D_loss"])
+        report(args, prof_dir, instr_cat, instr_src)
+        return
     else:
         from ideal_gan_tpu.train import unsup as tr
         cfg = dict(tr.DEFAULTS, n_G_filters=width, batch_size=nb, epochs=1,
@@ -290,10 +356,14 @@ def main():
             state, m = step(state, batch, key)
         jax.block_until_ready(m["G_loss"])
 
+    report(args, prof_dir, instr_cat, instr_src)
+
+
+def report(args, prof_dir, instr_cat, instr_src):
     events, names = load_trace_events(prof_dir)
     rows, lanes = summarize(events, names, top=args.top,
                             lane_filter=args.lane or None)
-    print(f"{args.trainer} step @ {h}^2 b{nb} "
+    print(f"{args.trainer} step @ {args.size}^2 b{args.batch} "
           f"{'bf16' if args.bf16 else 'f32'} x{args.iters} iters")
     if not rows:
         print("no device-lane events matched; lanes seen:")
@@ -324,6 +394,23 @@ def main():
     print("\ncategory breakdown (all device ops):")
     for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:12s} {dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%")
+
+    # per-module attribution: every op with op_name metadata rolls up to
+    # its Flax submodule (fwd/bwd split); the rest is '(unattributed)' —
+    # this is the table the MFU-vs-ceiling analysis in DESIGN.md wants
+    mods = collections.defaultdict(float)
+    for name, (dur, _) in ops:
+        src = instr_src.get(name) or instr_src.get(
+            re.sub(r"\.clone(\.\d+)*", "", name))
+        if src:
+            mod, direction = module_of(src)
+            mods[f"{mod} {direction}"] += dur
+        else:
+            mods["(unattributed)"] += dur
+    print(f"\nper-module attribution (ms per step, {args.iters} iters):")
+    for mod, dur in sorted(mods.items(), key=lambda kv: -kv[1]):
+        print(f"  {mod:32s} {dur / 1e3 / args.iters:8.2f} ms/step "
+              f"{100 * dur / total:5.1f}%")
     for name, (dur, cnt) in spans:
         print(f"(module span {name[:48]}: {dur / 1e3:.1f} ms / {cnt} calls)")
     print(f"(op total: {total / 1e3:.1f} ms over {args.iters} iters; "
