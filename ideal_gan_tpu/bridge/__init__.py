@@ -11,7 +11,8 @@ equivalent `ideal_gan_tpu.models` module.
 TF is imported lazily — the bridge is optional at runtime.
 """
 
-from .keras_bridge import (convert_decoder, convert_encoder,
+from .keras_bridge import (convert_bayes_decoder,
+                           convert_decoder, convert_encoder,
                            convert_mdwf_generator, convert_patchgan,
                            convert_pm_generator, convert_unet,
                            load_params_npz, save_params_npz)
@@ -19,7 +20,8 @@ from .refload import install_tf_shims, load_reference_dlmodule
 
 __all__ = [
     "convert_unet", "convert_mdwf_generator", "convert_pm_generator",
-    "convert_encoder", "convert_decoder", "convert_patchgan",
+    "convert_encoder", "convert_decoder", "convert_bayes_decoder",
+    "convert_patchgan",
     "save_params_npz", "load_params_npz",
     "install_tf_shims", "load_reference_dlmodule",
 ]

@@ -47,8 +47,8 @@ import numpy as np
 
 __all__ = [
     "convert_unet", "convert_mdwf_generator", "convert_pm_generator",
-    "convert_encoder", "convert_decoder", "convert_patchgan",
-    "save_params_npz", "load_params_npz",
+    "convert_encoder", "convert_decoder", "convert_bayes_decoder",
+    "convert_patchgan", "save_params_npz", "load_params_npz",
 ]
 
 
@@ -144,7 +144,12 @@ class _Assembler:
         import flax
         import jax.numpy as jnp
         self._jnp = jnp
-        self.flat = dict(flax.traverse_util.flatten_dict(template))
+        # 'losses' holds per-call sown values (FlipoutConv KL), not
+        # weights — excluded from the conversion contract
+        self.flat = {k: v
+                     for k, v in flax.traverse_util.flatten_dict(
+                         template).items()
+                     if k[0] != "losses"}
         self.out = {}
 
     def put(self, path, arr):
@@ -230,6 +235,34 @@ def _put_residual_block(asm, pool, base, kind):
     if norm_cls:
         _put_norm(asm, base + ("Norm_0",), pool.take(norm_cls), kind)
     _put_conv(asm, base + ("Conv_1",), pool.take("Conv2D"))
+    if norm_cls:
+        _put_norm(asm, base + ("Norm_1",), pool.take(norm_cls), kind)
+
+
+def _put_flipout(asm, base, kl):
+    """tfp Convolution2DFlipout [kernel_posterior_loc,
+    kernel_posterior_untransformed_scale, bias_posterior_loc]
+    (tfp.layers.util.default_mean_field_normal_fn layout; same order from
+    the refload shim) → models.bayes.FlipoutConv. tfp's posterior scale
+    is eps + softplus(u); FlipoutConv stores log σ, so
+    log_sigma = log(eps + softplus(u)) — exact, elementwise."""
+    loc, u, bias = kl.get_weights()
+    sigma = np.finfo(np.float32).eps + np.logaddexp(0.0, u)
+    asm.put(base + ("kernel_mean",), loc)
+    asm.put(base + ("kernel_log_sigma",), np.log(sigma).astype(np.float32))
+    asm.put(base + ("bias",), bias)
+
+
+def _put_bayes_residual_block(asm, pool, base, kind):
+    """_residual_block(Bayes=True) (DLlib/module.py:202-220) →
+    blocks.ResidualBlock(bayes=True): two Flipout convs + norms."""
+    norm_cls = _NORM_CLASSES.get(kind)
+    _put_flipout(asm, base + ("FlipoutConv_0",),
+                 pool.take("Convolution2DFlipout"))
+    if norm_cls:
+        _put_norm(asm, base + ("Norm_0",), pool.take(norm_cls), kind)
+    _put_flipout(asm, base + ("FlipoutConv_1",),
+                 pool.take("Convolution2DFlipout"))
     if norm_cls:
         _put_norm(asm, base + ("Norm_1",), pool.take(norm_cls), kind)
 
@@ -446,12 +479,12 @@ def convert_encoder(keras_model, flax_encoder, *example_args):
 
 
 def convert_decoder(keras_model, flax_decoder, *example_args):
-    """Reference decoder (DLlib/module.py:841-891, non-Bayes head) →
-    models.vae.Decoder (Interpol_Conv upsampling)."""
+    """Reference decoder (DLlib/module.py:841-891) → models.vae.Decoder
+    (Interpol_Conv upsampling). With `bayes_layer=True` the re/im-split
+    Flipout head (:880-885) maps via `_put_flipout` — the deterministic
+    mean-kernel forward then matches; Flipout sampling/KL run only on the
+    Flax side."""
     m = flax_decoder
-    if m.bayes_layer:
-        raise NotImplementedError("Flipout-head decoder conversion needs "
-                                  "the real tfp package")
     tpl = _template(m, *example_args, train=False)
     asm, pool = _Assembler(tpl), _LayerPool(keras_model)
     kind = m.norm
@@ -477,7 +510,73 @@ def convert_decoder(keras_model, flax_decoder, *example_args):
     if norm_cls:
         _put_norm(asm, P + ("Norm_0",), pool.take(norm_cls), kind)
     _put_conv(asm, P + ("Conv_2",), pool.take("Conv2D"))
-    pool.assert_consumed(["Conv2D", "SelfAttention"])
+    if m.bayes_layer:
+        _put_flipout(asm, P + ("FlipoutConv_0",),
+                     pool.take("Convolution2DFlipout"))
+        _put_flipout(asm, P + ("FlipoutConv_1",),
+                     pool.take("Convolution2DFlipout"))
+    pool.assert_consumed(["Conv2D", "SelfAttention",
+                          "Convolution2DFlipout"])
+    return asm.finish()
+
+
+def convert_bayes_decoder(keras_model, flax_decoder, *example_args):
+    """Reference Bayes_decoder (DLlib/module.py:894-938) →
+    models.vae.BayesDecoder: stem Flipout, then two towers (real/imag),
+    each [Flipout, (res+SA+res), num_layers × (Interpol_Conv upsample,
+    res-blocks), Norm, Flipout head] with all residual-block convs
+    Flipout (`Bayes=True`). Keras creation order is stem, then tower 0
+    fully, then tower 1 (the reference builds each `__x` to completion
+    in its loop), matching the Flax module's auto-naming order."""
+    import jax
+    m = flax_decoder
+    # the Bayes residual blocks sample Flipout perturbations even at
+    # eval (reference tfp semantics), so init needs the 'bayes' stream
+    key = jax.random.PRNGKey(0)
+    tpl = m.init({"params": key, "bayes": key}, *example_args, train=False)
+    asm, pool = _Assembler(tpl), _LayerPool(keras_model)
+    kind = m.norm
+    norm_cls = _NORM_CLASSES.get(kind)
+    P = ("params",)
+    _put_flipout(asm, P + ("FlipoutConv_0",),
+                 pool.take("Convolution2DFlipout"))
+    fc = 1   # FlipoutConv cursor (module-level heads)
+    rb = 0   # ResidualBlock cursor
+    up = 0   # Upsample cursor
+    sa = 0   # SelfAttention cursor
+    norm0 = 0  # tower-tail Norm cursor
+    for _tower in range(2):
+        _put_flipout(asm, P + (f"FlipoutConv_{fc}",),
+                     pool.take("Convolution2DFlipout"))
+        fc += 1
+        if m.nl_self_attention:
+            _put_bayes_residual_block(asm, pool,
+                                      P + (f"ResidualBlock_{rb}",), kind)
+            _put_attention(asm, P + (f"SelfAttention_{sa}",),
+                           pool.take("SelfAttention"))
+            _put_bayes_residual_block(asm, pool,
+                                      P + (f"ResidualBlock_{rb + 1}",),
+                                      kind)
+            rb += 2
+            sa += 1
+        for _level in range(m.num_layers):
+            _put_upsample(asm, pool, P + (f"Upsample_{up}",),
+                          method="interpol_conv")
+            up += 1
+            for _ in range(m.num_res_blocks):
+                _put_bayes_residual_block(asm, pool,
+                                          P + (f"ResidualBlock_{rb}",),
+                                          kind)
+                rb += 1
+        if norm_cls:
+            _put_norm(asm, P + (f"Norm_{norm0}",), pool.take(norm_cls),
+                      kind)
+        norm0 += 1
+        _put_flipout(asm, P + (f"FlipoutConv_{fc}",),
+                     pool.take("Convolution2DFlipout"))
+        fc += 1
+    pool.assert_consumed(["Conv2D", "SelfAttention",
+                          "Convolution2DFlipout"])
     return asm.finish()
 
 

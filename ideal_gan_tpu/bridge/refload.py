@@ -49,21 +49,93 @@ def _make_tfa_shim():
 
 
 def _make_tfp_shim():
-    """The bare minimum for `DLlib.module` to IMPORT (its Rician class
-    subclasses tfd.Distribution at class-creation time) and to build the
-    non-Bayesian architectures. Bayesian layers raise if actually used."""
+    """Enough tfp for `DLlib.module` to IMPORT (its Rician class
+    subclasses tfd.Distribution at class-creation time) and to BUILD the
+    reference architectures — including the Bayesian ones — so their
+    weights can be bridged:
+
+    - `Convolution2DFlipout`: a real Keras layer with tfp's exact
+      variable layout (`kernel_posterior_loc`,
+      `kernel_posterior_untransformed_scale`, `bias_posterior_loc` —
+      tfp.layers.util.default_mean_field_normal_fn) whose forward is the
+      deterministic mean-kernel path conv(x, loc)+bias. The Flipout
+      perturbation/KL are omitted: sampling runs on the Flax side
+      (models/bayes.py); the shim exists to build + bridge reference
+      Bayes checkpoints (DLlib/module.py:880-884, 894-938).
+    - `DistributionLambda`: pass-through returning its input tensor (the
+      concatenated [loc, scale] head, DLlib/module.py:441-455) — it holds
+      no weights; the Flax UNet returns a prob.Normal/Rician built from
+      the same two convs.
+
+    Distribution math (`tfp.distributions.Normal` etc.) stays
+    unavailable — parity for those paths is scipy/analytic-oracle-based
+    (COVERAGE.md LIMITS)."""
 
     def _unavailable(name):
         def _raise(*a, **k):
             raise NotImplementedError(
                 f"tensorflow_probability shim: {name} requires the real "
-                "tfp package (only non-Bayesian reference models can be "
-                "built with the shim)")
+                "tfp package")
         return _raise
 
     class Distribution:
         def __init__(self, *args, **kwargs):
             pass
+
+    import keras
+
+    class Convolution2DFlipout(keras.layers.Layer):
+        """Deterministic stand-in for tfp.layers.Convolution2DFlipout:
+        same constructor surface (as used by the reference), same
+        get_weights() layout/order as tfp's mean-field posterior."""
+
+        def __init__(self, filters, kernel_size, strides=1,
+                     padding="valid", activation=None, **kwargs):
+            kwargs.pop("kernel_posterior_fn", None)
+            kwargs.pop("kernel_divergence_fn", None)
+            super().__init__(**kwargs)
+            self.filters = int(filters)
+            self.kernel_size = (
+                (kernel_size, kernel_size) if isinstance(kernel_size, int)
+                else tuple(kernel_size))
+            self.strides = strides
+            self.padding = padding
+            self.activation = (keras.activations.get(activation)
+                               if not callable(activation) else activation)
+
+        def build(self, input_shape):
+            in_ch = int(input_shape[-1])
+            kshape = self.kernel_size + (in_ch, self.filters)
+            # tfp default_mean_field_normal_fn initializers
+            self.kernel_posterior_loc = self.add_weight(
+                name="kernel_posterior_loc", shape=kshape,
+                initializer=keras.initializers.RandomNormal(stddev=0.1))
+            self.kernel_posterior_untransformed_scale = self.add_weight(
+                name="kernel_posterior_untransformed_scale", shape=kshape,
+                initializer=keras.initializers.RandomNormal(mean=-3.0,
+                                                            stddev=0.1))
+            self.bias_posterior_loc = self.add_weight(
+                name="bias_posterior_loc", shape=(self.filters,),
+                initializer="zeros")
+
+        def call(self, x):
+            out = keras.ops.conv(x, self.kernel_posterior_loc,
+                                 strides=self.strides,
+                                 padding=str(self.padding).lower())
+            out = out + self.bias_posterior_loc
+            if self.activation is not None:
+                out = self.activation(out)
+            return out
+
+    class DistributionLambda(keras.layers.Layer):
+        """Weightless pass-through: returns the input tensor unchanged
+        (the reference feeds it concat([loc, scale]))."""
+
+        def __init__(self, make_distribution_fn=None, **kwargs):
+            super().__init__(**kwargs)
+
+        def call(self, x):
+            return x
 
     tfp = types.ModuleType("tensorflow_probability")
     tfp.distributions = types.ModuleType(
@@ -75,8 +147,9 @@ def _make_tfp_shim():
         setattr(tfp.distributions, name, _unavailable(f"distributions.{name}"))
     tfp.bijectors = types.ModuleType("tensorflow_probability.bijectors")
     tfp.layers = types.ModuleType("tensorflow_probability.layers")
-    for name in ("DistributionLambda", "IndependentNormal",
-                 "KLDivergenceRegularizer", "Convolution2DFlipout"):
+    tfp.layers.Convolution2DFlipout = Convolution2DFlipout
+    tfp.layers.DistributionLambda = DistributionLambda
+    for name in ("IndependentNormal", "KLDivergenceRegularizer"):
         setattr(tfp.layers, name, _unavailable(f"layers.{name}"))
     tfp.__shim__ = True
     return tfp

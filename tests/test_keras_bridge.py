@@ -159,6 +159,72 @@ class TestVAEBridge:
         _cmp(km(z, training=False),
              fm.apply(params, jnp.asarray(z), train=False))
 
+    def test_decoder_bayes_head(self, ref):
+        """Flipout re/im-split head (DLlib/module.py:880-885) bridged via
+        the tfp-layout shim; parity on the deterministic (mean-kernel)
+        path — the Keras side is the refload Convolution2DFlipout shim
+        whose forward IS the mean path, the Flax head runs
+        deterministic=True at train=False."""
+        from ideal_gan_tpu.models import Decoder
+        rng = np.random.default_rng(8)
+        z = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+        km = ref.decoder(8, (32, 32, 2), filters=4, num_layers=2,
+                         num_res_blocks=1, NL_self_attention=True,
+                         bayes_layer=True, output_activation="tanh")
+        fm = Decoder(encoded_dims=8, n_out=2, filters=4, num_layers=2,
+                     num_res_blocks=1, nl_self_attention=True,
+                     bayes_layer=True, output_activation="tanh")
+        params = convert_decoder(km, fm, jnp.asarray(z))
+        _cmp(km(z, training=False),
+             fm.apply(params, jnp.asarray(z), train=False))
+
+    def test_decoder_bayes_sigma_mapping(self, ref):
+        """σ layout transform: tfp stores untransformed_scale u with
+        σ = eps + softplus(u); FlipoutConv stores log σ."""
+        from ideal_gan_tpu.models import Decoder
+        rng = np.random.default_rng(9)
+        z = rng.normal(size=(1, 8, 8, 8)).astype(np.float32)
+        km = ref.decoder(8, (32, 32, 2), filters=4, num_layers=2,
+                         num_res_blocks=1, NL_self_attention=False,
+                         bayes_layer=True, output_activation="tanh")
+        fm = Decoder(encoded_dims=8, n_out=2, filters=4, num_layers=2,
+                     num_res_blocks=1, nl_self_attention=False,
+                     bayes_layer=True, output_activation="tanh")
+        params = convert_decoder(km, fm, jnp.asarray(z))
+        flip = [lyr for lyr in km.layers
+                if lyr.__class__.__name__ == "Convolution2DFlipout"]
+        u = np.asarray(flip[0].get_weights()[1])
+        expect = np.log(np.finfo(np.float32).eps + np.logaddexp(0.0, u))
+        got = np.asarray(
+            params["params"]["FlipoutConv_0"]["kernel_log_sigma"])
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def test_bayes_decoder(self, ref):
+        """Full Bayes_decoder (DLlib/module.py:894-938): every conv in
+        both towers is Flipout. The Flax residual blocks sample Flipout
+        perturbations even at eval (reference tfp semantics), so σ is
+        silenced (log σ → −100) after conversion to compare the
+        mean-kernel wiring exactly against the shim's deterministic
+        forward."""
+        import flax
+        from ideal_gan_tpu.models import BayesDecoder
+        from ideal_gan_tpu.bridge import convert_bayes_decoder
+        rng = np.random.default_rng(10)
+        z = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+        km = ref.Bayes_decoder(8, (32, 32), filters=4, num_layers=2,
+                               num_res_blocks=1, NL_self_attention=True)
+        fm = BayesDecoder(encoded_dims=8, filters=4, num_layers=2,
+                          num_res_blocks=1, nl_self_attention=True)
+        variables = convert_bayes_decoder(km, fm, jnp.asarray(z))
+        flat = flax.traverse_util.flatten_dict(variables)
+        flat = {k: (jnp.full_like(v, -100.0)
+                    if k[-1] == "kernel_log_sigma" else v)
+                for k, v in flat.items()}
+        variables = flax.traverse_util.unflatten_dict(flat)
+        out = fm.apply(variables, jnp.asarray(z), train=False,
+                       rngs={"bayes": jax.random.PRNGKey(0)})
+        _cmp(km(z, training=False), out)
+
 
 class TestPatchGANBridge:
     def test_patchgan(self, ref):
