@@ -65,7 +65,10 @@ def _point_losses(name):
     raise NameError(f"Unrecognized Main Loss Function {name!r}")
 
 
-def make_train_step(cfg, model):
+def make_loss_fn(cfg, model):
+    """The mag train-G loss (reference train-IDEAL-mag.py:255-316) as a
+    standalone `loss_fn(params, B, te, key)` — shared by the train step
+    and tools/model_parity.py."""
     rice = cfg["main_loss"] == "Rice"
     supervised = cfg["training_mode"] == "supervised"
     loss_alt = _point_losses(cfg["main_loss"])
@@ -150,6 +153,11 @@ def make_train_step(cfg, model):
                         "LS_NZ": ls_nz, "WF_NZ": wf_nz, "LS_cond": ls_cond,
                         "G_loss": g_loss}
 
+    return loss_fn
+
+
+def make_train_step(cfg, model):
+    loss_fn = make_loss_fn(cfg, model)
     schedule = linear_decay_schedule(cfg["lr"], cfg["epochs"],
                                      cfg["epoch_decay"])
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
