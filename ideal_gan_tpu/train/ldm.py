@@ -59,19 +59,28 @@ def build_schedule(cfg) -> dm.DiffusionSchedule:
 
 
 def latent_std(encode_fn, batches) -> float:
-    """Two-pass global latent std over the dataset (train-ldm.py:277-296)."""
+    """Global latent std over the dataset (train-ldm.py:277-296) in ONE
+    streaming pass: a single jitted encode→(Σz, Σz²) kernel per batch,
+    accumulated host-side in f64, with Var = E[z²] − E[z]². Algebraically
+    equal to the reference's two-pass mean-then-variance but encodes the
+    dataset once instead of twice (the pre-pass is the one full-dataset
+    host loop in LDM training). The checkpointed z_std scalar semantics
+    are unchanged."""
+    def _stats(a):
+        z = encode_fn(a)
+        return jnp.sum(z), jnp.sum(jnp.square(z)), jnp.asarray(z.size)
+
+    stats = jax.jit(_stats)
     count = 0
-    mean_acc = 0.0
+    sum_acc = 0.0
+    sq_acc = 0.0
     for a in batches:
-        z = np.asarray(encode_fn(a))
-        mean_acc += z.sum()
-        count += z.size
-    mean = mean_acc / count
-    var_acc = 0.0
-    for a in batches:
-        z = np.asarray(encode_fn(a))
-        var_acc += ((z - mean) ** 2).sum()
-    return float(np.sqrt(var_acc / count))
+        s, ss, n = stats(jnp.asarray(a))
+        sum_acc += float(s)
+        sq_acc += float(ss)
+        count += int(n)
+    mean = sum_acc / count
+    return float(np.sqrt(max(sq_acc / count - mean * mean, 0.0)))
 
 
 def make_train_step(cfg, model, sched: dm.DiffusionSchedule, encode_fn):

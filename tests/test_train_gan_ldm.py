@@ -188,12 +188,19 @@ class TestLDM:
                                      z_std=1.0, method="ddim")
         assert out2.shape == (1, 8, 8, channels)
 
-    def test_latent_std_two_pass(self):
+    def test_latent_std_single_pass(self):
+        """Streaming jitted pre-pass equals the host two-pass computation
+        (reference train-ldm.py:277-296) and consumes the dataset once —
+        a generator (single-use iterable) must work."""
         rng = np.random.default_rng(0)
         batches = [rng.normal(2.0, 3.0, (4, 5)).astype(np.float32)
                    for _ in range(4)]
-        std = ldm_tr.latent_std(lambda a: a, batches)
+        std = ldm_tr.latent_std(lambda a: a, iter(batches))
+        # host two-pass oracle (the reference's algorithm)
         allz = np.concatenate(batches).ravel()
+        mean = allz.sum() / allz.size
+        host_std = np.sqrt(((allz - mean) ** 2).sum() / allz.size)
+        np.testing.assert_allclose(std, host_std, rtol=1e-5)
         np.testing.assert_allclose(std, allz.std(), rtol=1e-5)
 
     def test_generate_dataset(self):
