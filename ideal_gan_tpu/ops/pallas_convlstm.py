@@ -1,0 +1,402 @@
+"""Fused Pallas TPU kernel for the multi-echo ConvLSTM front.
+
+The ME-ConvLSTM (models/convlstm.py; reference keras ConvLSTM2D at
+DLlib/module.py:370, 592, 800) is ~2/3 of every me_layer trainer step at
+reference widths (docs/DESIGN.md round-4 attribution). Run as XLA ops,
+each echo's hidden/cell state round-trips HBM — and the optimized HLO
+shows XLA lays the F-channel state out as `[8,384,384,F]{3,0,2,1}` with
+F channels padded to 128 lanes, so at F=32 every state tensor moves 4×
+its logical bytes.
+
+This kernel runs the ENTIRE recurrence per spatial block with the state
+resident in VMEM. Mosaic-compatible layout choices, found empirically
+(each rejected form is a real Mosaic error class):
+
+- **Channel-first, spatially-flat 2-D tensors.** Every in-kernel tensor
+  is (channels, M) with M = R·W′ the flattened padded block. Channels
+  sit in sublanes, M in lanes — no 128-lane padding waste on the minor
+  dimension, which is exactly the XLA-layout pathology this kernel
+  exists to avoid.
+- **Tap shifts via pltpu.roll.** For tap (dy, dx) the conv needs
+  inp[i+dy, j+dx] aligned to [i, j]; in flat index space that is a roll
+  by −(dy·W′+dx). `jnp.roll` is unusable: its slice+concat lowering
+  emits a zero-size slice at shift 0 ("vector types must have positive
+  constant sizes"). pltpu.roll results carry a lazy lane offset that
+  elementwise ops and matmul operands accept, but `tpu.concatenate`
+  rejects ("result/input offset mismatch on non-concat dimension") — so
+  rolled tensors are fed DIRECTLY to per-tap matmuls, never stacked.
+  Roll wrap-around writes garbage into the outermost rows/cols of the
+  block — the halo of `ne` pixels absorbs it: taint grows 1 px per
+  echo and the central TH×W rows sit exactly `ne` deep. (The same halo
+  simultaneously absorbs cross-block conv influence, so blocks are
+  independent.)
+- **Per-tap matmuls over the merged input.** Each echo concatenates
+  x_e and hidden once (both offset-0 — legal), then accumulates
+  gates += (4F, Cin+F) @ roll(inp, s_tap) over the nine taps. K = Cin+F
+  (34 at F=32) underfills the 128-lane MXU K dimension; the win is HBM
+  bytes (state never leaves VMEM), not MXU fill.
+- SAME-padding semantics at image borders are preserved by zeroing the
+  state outside the true image after every echo; the input window is
+  zero-padded by the same halo on the host side.
+
+HBM traffic: x once in, final hidden once out — vs (gates + state) × ne
+echoes round-tripping for the XLA path.
+
+Backward: `convlstm_fused` is a jax.custom_vjp that saves only
+(x, k, bias). The backward re-runs the recurrence in XLA to rebuild the
+per-echo states (plain rematerialization), then a hand-written reverse
+sweep re-linearizes each single echo around the recomputed previous
+state — no O(ne·4F) gate residuals held across the loss computation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _act_fn(name):
+    from ..models.blocks import get_activation
+    return get_activation(name)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _roll(a, shift):
+    """Circular shift along the flat (lane) axis 1. Uses pltpu.roll —
+    Mosaic's native lane rotation — with an identity fast-path at 0
+    (jnp.roll's shift-0 lowering emits a zero-size slice Mosaic
+    rejects)."""
+    shift %= a.shape[1]
+    if shift == 0:
+        return a
+    return pltpu.roll(a, shift=shift, axis=1)
+
+
+def _block_shape(h: int, w: int, ne: int, f: int, cin: int,
+                 itemsize: int):
+    """(row-tile, col-tile) maximizing halo efficiency
+    th·wc / ((th+2ne)(wc+2ne)) under the VMEM budget.
+
+    Blocking BOTH dims matters: a full-width 384-row strip with the
+    ne=6 halo costs ≥ 5148 lane positions, which caps th at 1–8 and
+    wastes 4–13× the compute on halo. A (th, 128) column block reaches
+    ~60–66 % efficiency at the same VMEM. Budget: 9 MiB of the 16 MiB
+    VMEM — an 11 MiB estimated working set crashes the TPU compile
+    helper; the estimate below undercounts Mosaic's true liveness
+    (rolled temporaries), so it is deliberately conservative."""
+    budget = 9 * 2 ** 20
+    per_m = (4 * f * 4                       # gates accumulator (f32)
+             + 4 * f * 4                     # activation temps (f32)
+             + f * 4                         # cellf (f32)
+             + 2 * (cin + f) * itemsize      # inp + rolled copy
+             + 3 * (cin + f) * itemsize     # dy-row stack scratch
+             + 2 * f * itemsize              # hidden + cell
+             + 2 * f * itemsize              # out block (dbl-buffered)
+             + 2 * ne * cin * itemsize)      # x window (dbl-buffered)
+    best = None
+    for wc in (128, 192, 96, 256, 64, w):
+        if wc > w or w % wc:
+            continue
+        for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+            if h % th:
+                continue
+            m = (th + 2 * ne) * (wc + 2 * ne)
+            if m * per_m > budget:
+                continue
+            eff = (th * wc) / m
+            if best is None or eff > best[0]:
+                best = (eff, th, wc)
+            break  # smaller th only lowers efficiency for this wc
+    if best is None:
+        return 1, w
+    return best[1], best[2]
+
+
+def _fwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
+                f, stacked, x_ref, k_ref, b_ref, out_ref, stack_ref):
+    """One grid cell: the full ne-echo recurrence on a flattened
+    (th+2ne)×(wc+2ne) block.
+
+    x_ref:  (1, 1, 1, ne, Cin, M) input window, channel-first flat
+    k_ref:  (3, 4F, 3(Cin+F)) per-dy-row kernel (dx taps concatenated on
+            K) when `stacked`, else (9, 4F, Cin+F) per-tap (_TAPS order)
+    b_ref:  (4F, 1)
+    out_ref: (1, 1, 1, F, M) final hidden (full padded block; host crops)
+    stack_ref: (3(Cin+F), M) VMEM scratch when `stacked` — rolled copies
+            are STORED here (stores materialize the lazy roll offset,
+            which tpu.concatenate cannot), giving a K=3(Cin+F)
+            contraction (~80 % MXU K-fill at F=32 vs ~27 % per-tap)
+    """
+    act = _act_fn(act_name)
+    rec_act = _act_fn(rec_act_name)
+    i_blk = pl.program_id(1)
+    j_blk = pl.program_id(2)
+    dtype = x_ref.dtype
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    m = r * wp
+
+    # validity mask over flat positions: inside the true image?
+    pos = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    grow = pos // wp + i_blk * th
+    gcol = pos - (pos // wp) * wp + j_blk * wc
+    # f32: the gate math runs in f32 regardless of the storage dtype
+    # (Mosaic's bf16 logistic lowering is broken — f32 scalar broadcast
+    # into a bf16 vector — and f32 gates are better numerics anyway)
+    mask = ((grow >= halo) & (grow < h_true + halo)
+            & (gcol >= halo) & (gcol < w_true + halo)).astype(jnp.float32)
+
+    bias = b_ref[...].astype(jnp.float32)     # (4F, 1)
+
+    hidden = jnp.zeros((f, m), dtype)
+    cell = jnp.zeros((f, m), dtype)
+
+    for e in range(ne):
+        x_e = x_ref[0, 0, 0, e]               # (Cin, M)
+        # one offset-0 concat per echo; rolled copies feed matmuls
+        # (or scratch stores) only
+        inp = jnp.concatenate([x_e, hidden], axis=0)
+        gates = jnp.broadcast_to(bias, (4 * f, m))
+        if stacked:
+            c = inp.shape[0]
+            for i_dy, dy in enumerate((-1, 0, 1)):
+                row = _roll(inp, -dy * wp)
+                # roll(row, -dx)[p] = inp[p + dy*wp + dx]
+                stack_ref[0:c] = _roll(row, 1)
+                stack_ref[c:2 * c] = row
+                stack_ref[2 * c:] = _roll(row, -1)
+                gates = gates + jnp.dot(
+                    k_ref[i_dy], stack_ref[...],
+                    preferred_element_type=jnp.float32)
+        else:
+            for t, (dy, dx) in enumerate(_TAPS):
+                gates = gates + jnp.dot(
+                    k_ref[t], _roll(inp, -(dy * wp + dx)),
+                    preferred_element_type=jnp.float32)
+        gi = rec_act(gates[:f])
+        gf = rec_act(gates[f:2 * f])
+        gg = act(gates[2 * f:3 * f])
+        go = rec_act(gates[3 * f:])
+        cellf = (gf * cell.astype(jnp.float32) + gi * gg) * mask
+        hidden = (go * act(cellf) * mask).astype(dtype)
+        cell = cellf.astype(dtype)
+
+    out_ref[0, 0, 0] = hidden
+
+
+def _prep(x, k_merged, bias, th, wc, stacked):
+    """Host-side (XLA) packing: flattened channel-first block windows +
+    tap-major (or dy-row-stacked) kernel layout."""
+    nb, ne, h, w, cin = x.shape
+    f = k_merged.shape[-1] // 4
+    halo = ne
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    nh = h // th
+    nw = w // wc
+    dtype = x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (halo, halo), (0, 0)))
+    windows = jnp.stack(
+        [jnp.stack([xp[:, :, i * th:i * th + r, j * wc:j * wc + wp]
+                    for j in range(nw)], axis=1)
+         for i in range(nh)], axis=1)       # (nb, nh, nw, ne, R, W', Cin)
+    windows = windows.transpose(0, 1, 2, 3, 6, 4, 5)  # channel-first
+    windows = windows.reshape(nb, nh, nw, ne, cin, r * wp)
+
+    # tap roll −(dy·wp+dx) aligns inp[p + dy·wp + dx] to position p, so
+    # the tap weight for offset (dy, dx) is k[dy+1, dx+1]
+    if stacked:
+        # stack rows are [roll(row,+1) → dx=−1, row → dx=0,
+        # roll(row,−1) → dx=+1]
+        k_mat = jnp.stack(
+            [jnp.concatenate([k_merged[dy + 1, 0].T, k_merged[dy + 1, 1].T,
+                              k_merged[dy + 1, 2].T], axis=1)
+             for dy in (-1, 0, 1)], axis=0).astype(dtype)  # (3, 4F, 3C)
+    else:
+        k_mat = jnp.stack([k_merged[dy + 1, dx + 1].T for dy, dx in _TAPS],
+                          axis=0).astype(dtype)       # (9, 4F, Cin+F)
+    b2 = bias.reshape(4 * f, 1).astype(dtype)
+    return windows, k_mat, b2
+
+
+def _crop(flat, nb, nh, nw, th, wc, halo, chans):
+    """(nb, nh, nw, C, R·W′) padded-block stack → (nb, H, W, C)."""
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    blocks = flat.reshape(nb, nh, nw, chans, r, wp)
+    blocks = blocks[:, :, :, :, halo:halo + th, halo:halo + wc]
+    return blocks.transpose(0, 1, 4, 2, 5, 3).reshape(
+        nb, nh * th, nw * wc, chans)
+
+
+def convlstm_pallas(x, k_merged, bias, activation="leaky_relu",
+                    recurrent_activation="sigmoid", interpret=None,
+                    stack_taps=True):
+    """Fused forward of the merged-kernel ConvLSTM.
+
+    x: (nb, ne, H, W, Cin); k_merged: (3, 3, Cin+F, 4F); bias: (4F,)
+    → hidden (nb, H, W, F) — identical math to the unrolled XLA path in
+    models/convlstm.py (up to f32 accumulation order)."""
+    nb, ne, h, w, cin = x.shape
+    kh_, kw_, c, f4 = k_merged.shape
+    assert (kh_, kw_) == (3, 3), "fused ConvLSTM supports 3×3 kernels"
+    f = f4 // 4
+    assert c == cin + f, (c, cin, f)
+    dtype = x.dtype
+    th, wc = _block_shape(h, w, ne, f, cin, dtype.itemsize)
+    halo = ne
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    m = r * wp
+    nh = h // th
+    nw = w // wc
+
+    windows, k_mat, b2 = _prep(x, k_merged, bias, th, wc, stack_taps)
+
+    kern = functools.partial(_fwd_kernel, activation, recurrent_activation,
+                             ne, th, wc, halo, h, w, f, stack_taps)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb, nh, nw),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, ne, cin, m),
+                         lambda b, i, j: (b, i, j, 0, 0, 0)),
+            pl.BlockSpec(k_mat.shape, lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, f, m),
+                               lambda b, i, j: (b, i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, nh, nw, f, m), dtype),
+        scratch_shapes=[pltpu.VMEM((3 * c, m), dtype)],
+        interpret=(not _on_tpu()) if interpret is None else interpret,
+    )(windows, k_mat, b2)
+
+    return _crop(out, nb, nh, nw, th, wc, halo, f)
+
+
+# --------------------------------------------------------------------------
+# reference recurrence (non-TPU path + parity oracle + bwd recompute)
+# --------------------------------------------------------------------------
+
+
+def _jnp_reference(x, k_merged, bias, activation, recurrent_activation):
+    """The unrolled XLA recurrence (same math as models/convlstm.py),
+    returning (hidden, per-echo (hidden ‖ cell) stack)."""
+    act = _act_fn(activation)
+    rec_act = _act_fn(recurrent_activation)
+    nb, ne, h, w, cin = x.shape
+    f = k_merged.shape[-1] // 4
+    dtype = x.dtype
+    hidden = jnp.zeros((nb, h, w, f), dtype)
+    cell = jnp.zeros((nb, h, w, f), dtype)
+    dn = lax.conv_dimension_numbers(
+        (nb, h, w, cin + f), k_merged.shape, ("NHWC", "HWIO", "NHWC"))
+    states = []
+    for e in range(ne):
+        inp = jnp.concatenate([x[:, e], hidden], axis=-1)
+        gates = lax.conv_general_dilated(
+            inp, k_merged.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=dn) + bias.astype(dtype)
+        i, fg, gg, o = jnp.split(gates, 4, axis=-1)
+        cell = rec_act(fg) * cell + rec_act(i) * act(gg)
+        hidden = rec_act(o) * act(cell)
+        states.append(jnp.concatenate([hidden, cell], axis=-1))
+    return hidden, jnp.stack(states, axis=1)
+
+
+# --------------------------------------------------------------------------
+# custom-vjp wrapper: fused forward + recompute-backward
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def convlstm_fused(x, k_merged, bias, activation="leaky_relu",
+                   recurrent_activation="sigmoid"):
+    """ConvLSTM forward (fused Pallas on TPU, XLA elsewhere) whose
+    backward rematerializes the per-echo states (one XLA forward) and
+    runs a hand-written reverse sweep — nothing but (x, k, bias) is
+    saved across the loss computation."""
+    if _on_tpu():
+        return convlstm_pallas(x, k_merged, bias, activation,
+                               recurrent_activation)
+    return _jnp_reference(x, k_merged, bias, activation,
+                          recurrent_activation)[0]
+
+
+def _fused_fwd(x, k_merged, bias, activation, recurrent_activation):
+    out = convlstm_fused(x, k_merged, bias, activation,
+                         recurrent_activation)
+    return out, (x, k_merged, bias)
+
+
+def _echo_step(x_e, h_prev, c_prev, k_merged, bias, dn, act, rec_act):
+    """One echo of the recurrence from explicit previous state."""
+    inp = jnp.concatenate([x_e, h_prev], axis=-1)
+    gates = lax.conv_general_dilated(
+        inp, k_merged, (1, 1), "SAME", dimension_numbers=dn) + bias
+    i, fg, gg, o = jnp.split(gates, 4, axis=-1)
+    cell = rec_act(fg) * c_prev + rec_act(i) * act(gg)
+    hidden = rec_act(o) * act(cell)
+    return hidden, cell
+
+
+def _fused_bwd(activation, recurrent_activation, res, g):
+    """Rematerialize the state chain (one XLA forward), then sweep
+    reverse-time: at echo e, re-linearize the single echo step around
+    the recomputed state (h_{e-1}, c_{e-1}) and pull (dh_e, dc_e) back
+    to (dx_e, dh_{e-1}, dc_{e-1}, dk, db). Memory high-water: the
+    states stack (2F per echo) during the sweep only — autodiff would
+    hold 4F pre-activations + pointwise products per echo from forward
+    until the end of the loss computation."""
+    act = _act_fn(activation)
+    rec_act = _act_fn(recurrent_activation)
+    x, k_merged, bias = res
+    _, states = _jnp_reference(x, k_merged, bias, activation,
+                               recurrent_activation)
+    nb, ne, h, w, cin = x.shape
+    f = k_merged.shape[-1] // 4
+    dtype = x.dtype
+    dn = lax.conv_dimension_numbers(
+        (nb, h, w, cin + f), k_merged.shape, ("NHWC", "HWIO", "NHWC"))
+    kd = k_merged.astype(dtype)
+    bd = bias.astype(dtype)
+
+    zeros = jnp.zeros((nb, h, w, f), dtype)
+    dh = g
+    dc = jnp.zeros_like(g)
+    dx = []
+    dk = jnp.zeros_like(k_merged)
+    db = jnp.zeros_like(bias)
+    for e in range(ne - 1, -1, -1):
+        h_prev = states[:, e - 1, ..., :f] if e > 0 else zeros
+        c_prev = states[:, e - 1, ..., f:] if e > 0 else zeros
+        _, vjp = jax.vjp(
+            lambda xe, hp, cp, k, b: _echo_step(xe, hp, cp, k, b, dn,
+                                                act, rec_act),
+            x[:, e], h_prev, c_prev, kd, bd)
+        dx_e, dh, dc_new, dk_e, db_e = vjp((dh, dc))
+        dc = dc_new
+        dx.append(dx_e)
+        dk = dk + dk_e.astype(dk.dtype)
+        db = db + db_e.astype(db.dtype)
+    dx = jnp.stack(dx[::-1], axis=1)
+    return dx, dk, db
+
+
+convlstm_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -363,3 +363,85 @@ class TestMagFitFused:
         rho, rec, ls, unc = kops.cse_mag_fused(acqs, out_maps, te)
         np.testing.assert_allclose(np.asarray(rho), np.asarray(ref.rho),
                                    rtol=1e-3, atol=5e-4)
+
+
+class TestConvLSTMFused:
+    """Fused ME-ConvLSTM recurrence kernel (ops/pallas_convlstm.py) vs the
+    unrolled XLA recurrence in models/convlstm.py (interpret mode on CPU;
+    compiles natively on TPU)."""
+
+    @staticmethod
+    def _inputs(nb=2, ne=3, h=16, w=16, cin=2, f=8, seed=21):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(nb, ne, h, w, cin)).astype(np.float32) * 0.5
+        k = (rng.normal(size=(3, 3, cin + f, 4 * f)) * 0.2).astype(
+            np.float32)
+        b = (rng.normal(size=(4 * f,)) * 0.1).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(k), jnp.asarray(b)
+
+    def test_forward_matches_unrolled(self):
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        x, k, b = self._inputs(f=8)
+        out = pc.convlstm_pallas(x, k, b, interpret=True)
+        ref_out, _ = pc._jnp_reference(x, k, b, "leaky_relu", "sigmoid")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_forward_matches_unrolled_offgranule_width(self):
+        # f=6 is not a multiple of the f32 sublane granule — gate slices
+        # land on unaligned sublane offsets
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        x, k, b = self._inputs(f=6, seed=22)
+        out = pc.convlstm_pallas(x, k, b, interpret=True)
+        ref_out, _ = pc._jnp_reference(x, k, b, "leaky_relu", "sigmoid")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_block_grid_halo_independence(self, monkeypatch):
+        # Force the tiling to split both dims (nh=2, nw=2): cross-block
+        # conv influence must ride the halo, blocks stay independent.
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        monkeypatch.setattr(pc, "_block_shape", lambda *a: (8, 8))
+        x, k, b = self._inputs(h=16, seed=23)
+        out = pc.convlstm_pallas(x, k, b, interpret=True)
+        ref_out, _ = pc._jnp_reference(x, k, b, "leaky_relu", "sigmoid")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_matches_convlstm_module(self):
+        # End-to-end against the Flax module (merged-kernel XLA path).
+        from ideal_gan_tpu.models.convlstm import ConvLSTM
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        x, _, _ = self._inputs(f=8, seed=24)
+        m = ConvLSTM(filters=8)
+        params = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(params, x)
+        kx = params["params"]["input_conv"]["kernel"]
+        kh = params["params"]["recurrent_conv"]["kernel"]
+        b = params["params"]["input_conv"]["bias"]
+        k = jnp.concatenate([kx, kh], axis=2)
+        out = pc.convlstm_pallas(x, k, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_custom_vjp_matches_autodiff(self):
+        # The hand-written reverse sweep (state-checkpointed) vs plain
+        # autodiff through the unrolled recurrence.
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        x, k, b = self._inputs(nb=1, ne=3, h=8, w=8, f=8, seed=25)
+
+        def loss_fused(x, k, b):
+            return jnp.sum(jnp.square(pc.convlstm_fused(x, k, b)))
+
+        def loss_ref(x, k, b):
+            out, _ = pc._jnp_reference(x, k, b, "leaky_relu", "sigmoid")
+            return jnp.sum(jnp.square(out))
+
+        gx, gk, gb = jax.grad(loss_fused, argnums=(0, 1, 2))(x, k, b)
+        rx, rk, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                   rtol=1e-4, atol=1e-5)
