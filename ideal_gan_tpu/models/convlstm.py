@@ -37,6 +37,7 @@ TPU scheduling (round-4 profile-driven redesign; docs/DESIGN.md):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -114,6 +115,13 @@ class ConvLSTM(nn.Module):
     activation: str = "leaky_relu"
     recurrent_activation: str = "sigmoid"
     dtype: Any = jnp.float32
+    # On TPU, run the recurrence as the fused Pallas kernel
+    # (ops/pallas_convlstm.py): state resident in VMEM instead of
+    # round-tripping HBM with F channels padded to 128 lanes. Elsewhere
+    # (CPU tests/meshes) the unrolled XLA path below runs — identical
+    # math, so the flag never changes results beyond f32 summation
+    # order.
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -128,6 +136,14 @@ class ConvLSTM(nn.Module):
                              name="recurrent_conv")()
         k_merged = jnp.concatenate([k_x, k_h], axis=2).astype(self.dtype)
         bias = bias.astype(self.dtype)
+
+        if (self.fused and (kh, kw) == (3, 3)
+                and os.environ.get("IDEAL_GAN_CONVLSTM_FUSED", "1") != "0"
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_convlstm import convlstm_fused
+            return convlstm_fused(x.astype(self.dtype), k_merged, bias,
+                                  self.activation,
+                                  self.recurrent_activation)
 
         hidden = jnp.zeros((nb, h, w, self.filters), self.dtype)
         cell = jnp.zeros((nb, h, w, self.filters), self.dtype)

@@ -80,10 +80,15 @@ def _roll(a, shift):
     """Circular shift along the flat (lane) axis 1. Uses pltpu.roll —
     Mosaic's native lane rotation — with an identity fast-path at 0
     (jnp.roll's shift-0 lowering emits a zero-size slice Mosaic
-    rejects)."""
+    rejects). bf16 rotates in f32: Mosaic's bf16 tpu.dynamic_rotate
+    crashes the compiler outright (helper exit 1; probed op-by-op —
+    bf16 dot/concat/select are fine, roll is the one that dies)."""
     shift %= a.shape[1]
     if shift == 0:
         return a
+    if a.dtype == jnp.bfloat16:
+        return pltpu.roll(a.astype(jnp.float32), shift=shift,
+                          axis=1).astype(jnp.bfloat16)
     return pltpu.roll(a, shift=shift, axis=1)
 
 
@@ -357,16 +362,20 @@ def _echo_step(x_e, h_prev, c_prev, k_merged, bias, dn, act, rec_act):
 
 
 def _fused_bwd(activation, recurrent_activation, res, g):
-    """Rematerialize the state chain (one XLA forward), then sweep
-    reverse-time: at echo e, re-linearize the single echo step around
-    the recomputed state (h_{e-1}, c_{e-1}) and pull (dh_e, dc_e) back
-    to (dx_e, dh_{e-1}, dc_{e-1}, dk, db). Memory high-water: the
-    states stack (2F per echo) during the sweep only — autodiff would
-    hold 4F pre-activations + pointwise products per echo from forward
-    until the end of the loss computation."""
+    """On TPU: the fused Pallas backward (in-VMEM state recompute +
+    reverse sweep, below). Elsewhere: rematerialize the state chain
+    (one XLA forward), then sweep reverse-time — at echo e,
+    re-linearize the single echo step around the recomputed state
+    (h_{e-1}, c_{e-1}) and pull (dh_e, dc_e) back to (dx_e, dh_{e-1},
+    dc_{e-1}, dk, db). Either way nothing but (x, k, bias) is held
+    across the loss computation — autodiff would hold 4F
+    pre-activations + pointwise products per echo."""
+    x, k_merged, bias = res
+    if _on_tpu():
+        return convlstm_bwd_pallas(x, k_merged, bias, g, activation,
+                                   recurrent_activation)
     act = _act_fn(activation)
     rec_act = _act_fn(recurrent_activation)
-    x, k_merged, bias = res
     _, states = _jnp_reference(x, k_merged, bias, activation,
                                recurrent_activation)
     nb, ne, h, w, cin = x.shape
@@ -400,3 +409,310 @@ def _fused_bwd(activation, recurrent_activation, res, g):
 
 
 convlstm_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# fused backward kernel: in-VMEM state recompute + reverse sweep
+# --------------------------------------------------------------------------
+
+
+def _block_shape_bwd(h: int, w: int, ne: int, f: int, cin: int,
+                     itemsize: int):
+    """Block search for the backward kernel (larger working set: the
+    per-echo hidden/cell state stacks live in VMEM scratch)."""
+    budget = 9 * 2 ** 20
+    c = cin + f
+    per_m = (2 * ne * f * itemsize           # h/c state stacks (scratch)
+             + 4 * f * 4                     # gates (f32)
+             + 2 * 4 * f * 4                 # dgates f32 + vjp temps
+             + 4 * f * itemsize              # dgates cast for matmuls
+             + 3 * c * itemsize              # dy-row stack scratch
+             + 2 * c * itemsize              # inp + rolled copy
+             + c * 4                         # dinp accumulator (f32)
+             + 3 * f * 4                     # dh, dc, dc_tot (f32)
+             + 2 * f * itemsize              # g input (dbl-buffered)
+             + 2 * ne * cin * itemsize       # x window (dbl-buffered)
+             + 2 * ne * cin * itemsize)      # dx output (dbl-buffered)
+    best = None
+    for wc in (128, 192, 96, 256, 64, w):
+        if wc > w or w % wc:
+            continue
+        for th in (64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+            if h % th:
+                continue
+            m = (th + 2 * (ne + 1)) * (wc + 2 * (ne + 1))
+            if m * per_m > budget:
+                continue
+            eff = (th * wc) / m
+            if best is None or eff > best[0]:
+                best = (eff, th, wc)
+            break
+    if best is None:
+        return 1, w
+    return best[1], best[2]
+
+
+def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
+                f, cin, x_ref, g_ref, k_ref, ktx_ref, kth_ref, b_ref,
+                dx_ref, dk_ref, db_ref, sth_ref, stc_ref, stack_ref,
+                dxs_ref):
+    """One grid cell: recompute the recurrence with states in VMEM, then
+    reverse-sweep it. halo = ne+1 (one ring more than the forward: the
+    reverse taint front and the legit gradient front both move 1 px per
+    echo — the extra ring keeps legit dx strictly inside ring ≥ 1).
+
+    x_ref:  (1, 1, 1, ne, Cin, M) input window (zero-padded halo)
+    g_ref:  (1, 1, 1, F, M) cotangent of the final hidden — the halo
+            carries NEIGHBOR blocks' cotangent and is masked to the
+            owned region (gradients are additive over blocks: each block
+            back-propagates exactly the chains rooted at its own g)
+    k_ref:  (3, 4F, 3C) dy-row stacked kernel (as the forward)
+    ktx_ref/kth_ref: (9, Cin, 4F) / (9, F, 4F) per-tap UNtransposed
+            kernel, split at the x/hidden boundary (for the transposed
+            conv back to the inputs; the split avoids an offset-Cin
+            value slice of the dinp accumulator, which crashes Mosaic
+            in combination with the reverse recurrence)
+    b_ref:  (4F, 1)
+    dx_ref: (1, 1, 1, ne·Cin, M) per-window dx (echo-major rows; the
+            host reshapes) — the host overlap-adds (windows overlap by
+            2·halo, and a block legitimately owns gradient
+            contributions into its halo). Rows accumulate in dxs_ref
+            and store once: per-echo 2-row stores into a 6-D output
+            block crash Mosaic
+    dk_ref: (3, 4F, 3C) f32, accumulated across the whole grid
+    db_ref: (4F, 1) f32, accumulated across the whole grid
+    sth_ref/stc_ref: (ne, F, M) per-echo state scratch
+    stack_ref: (3C, M) dy-row stack scratch
+    dxs_ref: (ne·Cin, M) dx accumulator scratch
+    """
+    act = _act_fn(act_name)
+    rec_act = _act_fn(rec_act_name)
+    b_blk = pl.program_id(0)
+    i_blk = pl.program_id(1)
+    j_blk = pl.program_id(2)
+    dtype = x_ref.dtype
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    m = r * wp
+    c = cin + f
+
+    @pl.when((b_blk == 0) & (i_blk == 0) & (j_blk == 0))
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    pos = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    row = pos // wp
+    col = pos - row * wp
+    grow = row + i_blk * th
+    gcol = col + j_blk * wc
+    img_mask = ((grow >= halo) & (grow < h_true + halo)
+                & (gcol >= halo) & (gcol < w_true + halo)
+                ).astype(jnp.float32)
+    owned = ((row >= halo) & (row < halo + th)
+             & (col >= halo) & (col < halo + wc)).astype(jnp.float32)
+    depth = jnp.minimum(jnp.minimum(row, r - 1 - row),
+                        jnp.minimum(col, wp - 1 - col))
+
+    bias = b_ref[...].astype(jnp.float32)
+
+    def gates_at(e, hidden):
+        """gates_e from (x_e, hidden) via the dy-row stacked matmuls;
+        leaves stack_ref holding the LAST dy row (rebuilt in the dk
+        pass)."""
+        x_e = x_ref[0, 0, 0, e]
+        inp = jnp.concatenate([x_e, hidden], axis=0)
+        gates = jnp.broadcast_to(bias, (4 * f, m))
+        for i_dy, dy in enumerate((-1, 0, 1)):
+            rowv = _roll(inp, -dy * wp)
+            stack_ref[0:c] = _roll(rowv, 1)
+            stack_ref[c:2 * c] = rowv
+            stack_ref[2 * c:] = _roll(rowv, -1)
+            gates = gates + jnp.dot(k_ref[i_dy], stack_ref[...],
+                                    preferred_element_type=jnp.float32)
+        return gates, inp
+
+    def cell_math(gates, c_prev):
+        gi = rec_act(gates[:f])
+        gf = rec_act(gates[f:2 * f])
+        gg = act(gates[2 * f:3 * f])
+        go = rec_act(gates[3 * f:])
+        cellf = (gf * c_prev + gi * gg) * img_mask
+        hidden = go * act(cellf) * img_mask
+        return hidden, cellf
+
+    # ---- forward recompute, states resident in VMEM scratch ----------
+    hidden = jnp.zeros((f, m), dtype)
+    cell32 = jnp.zeros((f, m), jnp.float32)
+    for e in range(ne):
+        gates, _ = gates_at(e, hidden)
+        hidden32, cell32 = cell_math(gates, cell32)
+        hidden = hidden32.astype(dtype)
+        sth_ref[e] = hidden
+        stc_ref[e] = cell32.astype(dtype)
+
+    # ---- reverse sweep ------------------------------------------------
+    dh = g_ref[0, 0, 0].astype(jnp.float32) * owned
+    dc = jnp.zeros((f, m), jnp.float32)
+    for e in range(ne - 1, -1, -1):
+        s = ne - e  # reverse step, 1-indexed
+        h_prev = sth_ref[e - 1] if e > 0 else jnp.zeros((f, m), dtype)
+        c_prev = (stc_ref[e - 1].astype(jnp.float32) if e > 0
+                  else jnp.zeros((f, m), jnp.float32))
+        gates, inp = gates_at(e, h_prev)
+        # exact local derivatives for whatever activation pair is in use
+        _, vjp = jax.vjp(cell_math, gates, c_prev)
+        dgates, dc = vjp((dh, dc))
+        # legit gradient front after s steps: depth ≥ halo − s; beyond
+        # it only roll-wrap taint lives — zero it before it reaches
+        # dk/db/dx or the next echo
+        front = (depth >= (halo - s)).astype(jnp.float32)
+        dgates = dgates * front
+        db_ref[...] += jnp.sum(dgates, axis=1, keepdims=True)
+        dgates_mm = dgates.astype(dtype)
+        # dk: rebuild the dy-row stacks (same contents as gates_at left
+        # them for dy=+1 only) and contract over the flat positions
+        for i_dy, dy in enumerate((-1, 0, 1)):
+            rowv = _roll(inp, -dy * wp)
+            stack_ref[0:c] = _roll(rowv, 1)
+            stack_ref[c:2 * c] = rowv
+            stack_ref[2 * c:] = _roll(rowv, -1)
+            dk_ref[i_dy] += lax.dot_general(
+                dgates_mm, stack_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # transposed conv back to x and hidden separately. The roll is
+        # hoisted INTO the matmul operand — roll(kT@dg, s) = kT@roll(dg,
+        # s) — so the rolled tensor is the healthy 128-row dgates
+        # consumed directly by a dot (legal for lazy offsets), and the
+        # dxe/dhn accumulators only ever add offset-0 matmul outputs.
+        # Rolling the 2-row dxe products instead hangs Mosaic for >13
+        # min; accumulating rolled dhn products crashes it.
+        dxe = jnp.zeros((cin, m), jnp.float32)
+        dhn = jnp.zeros((f, m), jnp.float32)
+        for t, (dy, dx) in enumerate(_TAPS):
+            dg_t = _roll(dgates_mm, dy * wp + dx)
+            dxe = dxe + jnp.dot(ktx_ref[t], dg_t,
+                                preferred_element_type=jnp.float32)
+            dhn = dhn + jnp.dot(kth_ref[t], dg_t,
+                                preferred_element_type=jnp.float32)
+        dx_mask = (depth >= jnp.maximum(halo - s - 1, 1)).astype(
+            jnp.float32)
+        dxs_ref[e * cin:(e + 1) * cin] = (dxe * dx_mask).astype(dtype)
+        dh = dhn
+
+    dx_ref[0, 0, 0] = dxs_ref[...]
+
+    return
+
+
+def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
+                        recurrent_activation="sigmoid", interpret=None):
+    """Fused backward: (x, k, bias, dL/dhidden) → (dx, dk, db).
+
+    Per spatial block: recompute the recurrence with per-echo states in
+    VMEM, then sweep reverse-time — gates recomputed per echo from the
+    resident states, exact pointwise derivatives via an in-kernel
+    jax.vjp of the cell, transposed conv as per-tap K=4F matmuls with
+    roll-after-matmul. HBM traffic: x + g in once, dx out once; dk/db
+    accumulate in VMEM across the (sequential) TPU grid."""
+    nb, ne, h, w, cin = x.shape
+    f = k_merged.shape[-1] // 4
+    c = cin + f
+    dtype = x.dtype
+    th, wc = _block_shape_bwd(h, w, ne, f, cin, dtype.itemsize)
+    halo = ne + 1
+    r = th + 2 * halo
+    wp = wc + 2 * halo
+    m = r * wp
+    nh = h // th
+    nw = w // wc
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (halo, halo), (0, 0)))
+    xw = jnp.stack(
+        [jnp.stack([xp[:, :, i * th:i * th + r, j * wc:j * wc + wp]
+                    for j in range(nw)], axis=1)
+         for i in range(nh)], axis=1)
+    xw = xw.transpose(0, 1, 2, 3, 6, 4, 5).reshape(nb, nh, nw, ne, cin, m)
+    gp = jnp.pad(g, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    gw = jnp.stack(
+        [jnp.stack([gp[:, i * th:i * th + r, j * wc:j * wc + wp]
+                    for j in range(nw)], axis=1)
+         for i in range(nh)], axis=1)
+    gw = gw.transpose(0, 1, 2, 5, 3, 4).reshape(nb, nh, nw, f, m)
+
+    k_mat = jnp.stack(
+        [jnp.concatenate([k_merged[dy + 1, 0].T, k_merged[dy + 1, 1].T,
+                          k_merged[dy + 1, 2].T], axis=1)
+         for dy in (-1, 0, 1)], axis=0).astype(dtype)       # (3, 4F, 3C)
+    ktx_mat = jnp.stack([k_merged[dy + 1, dx + 1, :cin]
+                         for dy, dx in _TAPS],
+                        axis=0).astype(dtype)               # (9, Cin, 4F)
+    kth_mat = jnp.stack([k_merged[dy + 1, dx + 1, cin:]
+                         for dy, dx in _TAPS],
+                        axis=0).astype(dtype)               # (9, F, 4F)
+    b2 = bias.reshape(4 * f, 1).astype(dtype)
+
+    kern = functools.partial(_bwd_kernel, activation, recurrent_activation,
+                             ne, th, wc, halo, h, w, f, cin)
+    dxw, dk, db = pl.pallas_call(
+        kern,
+        grid=(nb, nh, nw),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, ne, cin, m),
+                         lambda b, i, j: (b, i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, f, m), lambda b, i, j: (b, i, j, 0, 0)),
+            pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((9, cin, 4 * f), lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((9, f, 4 * f), lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, ne * cin, m),
+                         lambda b, i, j: (b, i, j, 0, 0)),
+            pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nh, nw, ne * cin, m), dtype),
+            jax.ShapeDtypeStruct((3, 4 * f, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((4 * f, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ne, f, m), dtype),
+                        pltpu.VMEM((ne, f, m), dtype),
+                        pltpu.VMEM((3 * c, m), dtype),
+                        pltpu.VMEM((ne * cin, m), dtype)],
+        interpret=(not _on_tpu()) if interpret is None else interpret,
+    )(xw, gw, k_mat, ktx_mat, kth_mat, b2)
+
+    # overlap-add the dx windows (blocks legitimately write gradient
+    # into their halos; windows overlap by 2·halo). Grouped: windows
+    # whose grid indices are ≡ (a, b) mod (sa, sb) are pairwise disjoint
+    # once sa·th ≥ r, so each group lands as ONE strided add — a
+    # handful of adds instead of nh·nw scatter ops.
+    dxw = dxw.reshape(nb, nh, nw, ne, cin, r, wp)  # echo-major rows
+    sa = -(-r // th)   # ceil: smallest stride making same-group rows disjoint
+    sb = -(-wp // wc)
+    hp = (nh + sa) * th + 2 * halo
+    wpad = (nw + sb) * wc + 2 * halo
+    canvas = jnp.zeros((nb, ne, hp, wpad, cin), jnp.float32)
+    for a in range(sa):
+        for b in range(sb):
+            sub = dxw[:, a::sa, b::sb].astype(jnp.float32)
+            ni, nj = sub.shape[1], sub.shape[2]
+            if ni == 0 or nj == 0:
+                continue
+            # pad each window to the (disjoint) group pitch and fuse the
+            # block grid into plain rows/cols
+            sub = jnp.pad(sub, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 0),
+                                (0, sa * th - r), (0, sb * wc - wp)))
+            sub = sub.transpose(0, 3, 1, 5, 2, 6, 4).reshape(
+                nb, ne, ni * sa * th, nj * sb * wc, cin)
+            canvas = canvas.at[:, :, a * th:a * th + ni * sa * th,
+                               b * wc:b * wc + nj * sb * wc].add(sub)
+    dx = canvas[:, :, halo:halo + h, halo:halo + w].astype(dtype)
+
+    # (3, 4F, 3C) dy-row stacks → (3, 3, C, 4F) merged-kernel gradient
+    dk_rows = dk.reshape(3, 4 * f, 3, c).transpose(0, 2, 3, 1)
+    dk_full = dk_rows.astype(k_merged.dtype)
+    db_full = db.reshape(4 * f).astype(bias.dtype)
+    return dx, dk_full, db_full

@@ -445,3 +445,61 @@ class TestConvLSTMFused:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestConvLSTMFusedBackward:
+    """Fused Pallas backward (in-VMEM state recompute + reverse sweep,
+    ops/pallas_convlstm.py::convlstm_bwd_pallas) vs autodiff through the
+    unrolled recurrence."""
+
+    @staticmethod
+    def _setup(nb=2, ne=3, h=16, w=16, cin=2, f=8, seed=31):
+        from ideal_gan_tpu.ops import pallas_convlstm as pc
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(nb, ne, h, w, cin)) * 0.5,
+                        jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, cin + f, 4 * f)) * 0.2,
+                        jnp.float32)
+        b = jnp.asarray(rng.normal(size=(4 * f,)) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(nb, h, w, f)), jnp.float32)
+
+        def loss(x, k, b):
+            out, _ = pc._jnp_reference(x, k, b, "leaky_relu", "sigmoid")
+            return jnp.sum(out * g)
+
+        ref = jax.grad(loss, argnums=(0, 1, 2))(x, k, b)
+        return pc, x, k, b, g, ref
+
+    def _check(self, got, ref):
+        for a, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=2e-5)
+
+    def test_single_block_matches_autodiff(self):
+        pc, x, k, b, g, ref = self._setup()
+        self._check(pc.convlstm_bwd_pallas(x, k, b, g, interpret=True),
+                    ref)
+
+    def test_multi_block_overlap_add_and_taint_fronts(self, monkeypatch):
+        # nh=3, nw=3: dx must overlap-add across block windows; the
+        # per-step legit-gradient/taint fronts must not leak garbage
+        # into dk/db/dx
+        pc, x, k, b, g, ref = self._setup(h=24, w=24, seed=32)
+        monkeypatch.setattr(pc, "_block_shape_bwd", lambda *a: (8, 8))
+        self._check(pc.convlstm_bwd_pallas(x, k, b, g, interpret=True),
+                    ref)
+
+    def test_full_echo_count(self, monkeypatch):
+        # ne=6 (the production echo count): taint front travels the full
+        # halo depth
+        pc, x, k, b, g, ref = self._setup(nb=1, ne=6, h=24, w=24, seed=33)
+        monkeypatch.setattr(pc, "_block_shape_bwd", lambda *a: (12, 12))
+        self._check(pc.convlstm_bwd_pallas(x, k, b, g, interpret=True),
+                    ref)
+
+    def test_image_border_blocks(self, monkeypatch):
+        # blocks whose halo crosses the image boundary (SAME padding)
+        pc, x, k, b, g, ref = self._setup(nb=1, ne=4, h=16, w=16, seed=34)
+        monkeypatch.setattr(pc, "_block_shape_bwd", lambda *a: (8, 16))
+        self._check(pc.convlstm_bwd_pallas(x, k, b, g, interpret=True),
+                    ref)
