@@ -133,3 +133,32 @@ def load_cohorts(cfg, mebcrn: bool = True, mag_and_phase: bool = False):
     ne = cfg.get("n_echoes", 6)
     te = np.asarray(physics.te_train(ne, bs=len(acqs)))
     return acqs, maps, te
+
+
+def warn_f32_compiler_crash(cfg):
+    """Loud guidance for the known XLA TPU compiler crash class.
+
+    The UNet/VET generator BACKWARD at f32, 384², batch 8 crashes the
+    XLA TPU compiler outright (with or without remat; any
+    decoder/attention config; 48 and 72 filters alike), while the same
+    graph compiles at 256², at batch ≤ 2, in bf16, or forward-only —
+    the threshold tracks the unrematerialized backward's temp-buffer
+    plan crossing HBM capacity (~28 GB estimated vs the 12.4 GB that
+    compiles at 256²). Isolation: tools/xla_crash_repro.py; analysis:
+    docs/DESIGN.md "f32 compiler crash". Steer users BEFORE they wait
+    out a multi-minute compile that dies."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    if cfg.get("bf16") or cfg.get("data_size", 192) < 384:
+        return
+    if cfg.get("batch_size", 0) * cfg.get("data_size", 0) ** 2 < 8 * 384 ** 2:
+        return
+    import sys
+    print(
+        "WARNING: f32 training at data_size>=384 / batch>=8 is known to "
+        "CRASH the XLA TPU compiler (backward temp-buffer plan exceeds "
+        "HBM; see docs/DESIGN.md and tools/xla_crash_repro.py). "
+        "Recommended operating point: --bf16 1 (with --remat 1 for "
+        "batch 16), or --batch_size 2, or --data_size 256.",
+        file=sys.stderr, flush=True)

@@ -10,11 +10,13 @@ from ..train import sup
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
 from ..utils.preempt import PreemptionGuard
-from .common import load_cohorts, setup_experiment
+from .common import (load_cohorts, setup_experiment,
+                     warn_f32_compiler_crash)
 
 
 def main(argv=None):
     cfg = setup_experiment({**sup.DEFAULTS, "DL_gen_dir": ""}, argv)
+    warn_f32_compiler_crash(cfg)
     if cfg["DL_gen"]:
         # DL-generated corpus (reference --DL_gen, train-sup.py:101-164):
         # read npz shards, optionally prepend real slices.

@@ -11,11 +11,13 @@ from ..train import teaug
 from ..train.common import batch_iterator
 from ..utils import Checkpoint, DictSummaryWriter
 from ..utils.preempt import PreemptionGuard
-from .common import load_cohorts, setup_experiment
+from .common import (load_cohorts, setup_experiment,
+                     warn_f32_compiler_crash)
 
 
 def main(argv=None):
     cfg = setup_experiment(teaug.DEFAULTS, argv)
+    warn_f32_compiler_crash(cfg)
     _, maps, _ = load_cohorts(cfg)
     n = len(maps)
     steps_per_epoch = max(n // cfg["batch_size"], 1)
