@@ -221,6 +221,18 @@ def main():
                   + (" remat" if remat else ""), step, state,
                   (jnp.asarray(maps), jnp.asarray(te)),
                   extra={"filters": width("teaug"), "remat": remat})
+        # The monolithic f32 384²·b8 backward crashes the XLA compiler
+        # (docs/DESIGN.md); --microbatch 2 gradient accumulation keeps
+        # each scan-body backward at batch 2, which compiles — this row
+        # is the reference f32 72-filter config actually running.
+        tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
+                    batch_size=nb, epochs=1, microbatch=2)
+        model = teaug.build_model(tcfg)
+        step, tx = teaug.make_train_step(tcfg, model)
+        state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+        bench("teaug (VET) micro2", step, state,
+              (jnp.asarray(maps), jnp.asarray(te)),
+              extra={"filters": width("teaug"), "microbatch": 2})
 
     if "mag" in selected:
         for bf16 in (False, True):
@@ -302,6 +314,22 @@ def main():
                   (jnp.asarray(a_b), jnp.asarray(m_b), jnp.asarray(t_b)),
                   batch_n=bs, extra={"filters": width("sup"),
                                      "remat": remat})
+        # The b32 remat backward crashes the XLA compiler monolithically
+        # (BENCH_train_r03) — microbatch 8 keeps each scan-body backward
+        # at the known-good b8 plan.
+        bs = 4 * nb
+        cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"), batch_size=bs,
+                   epochs=1, out_vars="PM", bf16=True, microbatch=nb)
+        model = sup.build_model(cfg)
+        step, tx = sup.make_train_step(cfg, model)
+        state = sup.init_state(cfg, model, tx, key, acqs[:1])
+        a_b = np.concatenate([acqs2, acqs2])[:bs]
+        m_b = np.concatenate([maps2, maps2])[:bs]
+        t_b = np.concatenate([te2, te2])[:bs]
+        bench(f"sup (PM) bf16 b{bs} micro{nb}", step, state,
+              (jnp.asarray(a_b), jnp.asarray(m_b), jnp.asarray(t_b)),
+              batch_n=bs, extra={"filters": width("sup"),
+                                 "microbatch": nb})
         for mult in (2,):
             bs = mult * nb
             tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),

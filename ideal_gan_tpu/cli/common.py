@@ -154,11 +154,14 @@ def warn_f32_compiler_crash(cfg):
         return
     if cfg.get("batch_size", 0) * cfg.get("data_size", 0) ** 2 < 8 * 384 ** 2:
         return
+    if 0 < int(cfg.get("microbatch", 0) or 0) <= 2:
+        return  # grad accumulation keeps the per-scan-body plan small
     import sys
     print(
         "WARNING: f32 training at data_size>=384 / batch>=8 is known to "
         "CRASH the XLA TPU compiler (backward temp-buffer plan exceeds "
         "HBM; see docs/DESIGN.md and tools/xla_crash_repro.py). "
-        "Recommended operating point: --bf16 1 (with --remat 1 for "
-        "batch 16), or --batch_size 2, or --data_size 256.",
+        "Recommended operating point: --microbatch 2 (exact gradient "
+        "accumulation, full batch semantics), or --bf16 1 (with --remat 1 "
+        "for batch 16), or --batch_size 2, or --data_size 256.",
         file=sys.stderr, flush=True)

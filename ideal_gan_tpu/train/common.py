@@ -45,6 +45,55 @@ def make_adam(schedule, beta_1: float = 0.9, beta_2: float = 0.9999,
     return tx
 
 
+def accumulate_microbatch_grads(grad_fn, params, batch, key, micro: int):
+    """Exact gradient accumulation over micro-batches via `lax.scan`.
+
+    Purpose-built for the XLA TPU compiler crash on the f32 384²·b8
+    backward (docs/DESIGN.md "f32 compiler crash"): the scan body's
+    backward is a batch-`micro` computation whose temp-buffer plan fits
+    HBM, and the temps are reused across iterations — so a batch the
+    compiler cannot plan monolithically trains with identical math.
+
+    `grad_fn(params, chunk, key) -> ((loss, metrics_dict), grads)` is the
+    caller's per-chunk value_and_grad closure; the caller is responsible
+    for making the summed-then-averaged chunk results equal the full-batch
+    quantities (batch-MEAN terms decompose as-is over equal chunks;
+    batch-SUM terms — the TV and L1_mean regularizers, which sum
+    per-item reductions over the batch — must be pre-scaled by the
+    chunk count, see `make_loss_fn(tv_scale=...)`).
+
+    `batch` is a pytree of arrays sharing leading dim nb; nb % micro must
+    be 0. Returns ((loss, metrics), grads) averaged over the nb//micro
+    chunks. All accumulation is in the grads' own dtype (f32 params ⇒ f32
+    accumulation).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    nb = jax.tree.leaves(batch)[0].shape[0]
+    if nb % micro:
+        raise ValueError(f"batch {nb} not divisible by microbatch {micro}")
+    n_chunks = nb // micro
+    if n_chunks == 1:
+        return grad_fn(params, batch, key)
+    chunks = jax.tree.map(
+        lambda x: x.reshape((n_chunks, micro) + x.shape[1:]), batch)
+    keys = jax.random.split(key, n_chunks)
+
+    out_shapes = jax.eval_shape(
+        grad_fn, params, jax.tree.map(lambda x: x[0], chunks), keys[0])
+    zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), out_shapes)
+
+    def body(carry, inp):
+        chunk, k = inp
+        out = grad_fn(params, chunk, k)
+        return jax.tree.map(jnp.add, carry, out), None
+
+    acc, _ = lax.scan(body, zeros, (chunks, keys))
+    inv = 1.0 / n_chunks
+    return jax.tree.map(lambda x: (x * inv).astype(x.dtype), acc)
+
+
 def batch_iterator(arrays, batch_size: int, rng: np.random.Generator,
                    shuffle: bool = True, drop_remainder: bool = True):
     """Host-side shuffled batch iterator over aligned numpy arrays."""

@@ -29,7 +29,8 @@ from .. import physics
 from ..data import layouts
 from ..losses import l1_mean, total_variation_2d
 from ..models import MDWFNet, UNet, VETNet
-from .common import linear_decay_schedule, make_adam
+from .common import (accumulate_microbatch_grads,
+                     linear_decay_schedule, make_adam)
 
 DEFAULTS = dict(
     dataset="WF-sup", data_size=192, DL_gen=False, DL_partial_real=0,
@@ -39,6 +40,7 @@ DEFAULTS = dict(
     lr=0.0005, beta_1=0.9, beta_2=0.9999, R2_TV_weight=0.0, FM_TV_weight=0.0,
     R2_L1_weight=0.0, FM_L1_weight=0.0, D1_SelfAttention=False,
     D2_SelfAttention=True, D3_SelfAttention=True, bf16=False, remat=False,
+    microbatch=0,
 )
 
 
@@ -106,11 +108,18 @@ def build_model(cfg):
         "'MEBCRN' option is dead code — dl.MEBCRN does not exist)")
 
 
-def make_loss_fn(cfg, model):
+def make_loss_fn(cfg, model, tv_scale: float = 1.0):
     """The supervised loss (reference train_G, train-sup.py:239-361) as a
     standalone `loss_fn(params, A, B, te, key) -> (loss, metrics)` —
     shared by the train step and the trainer-parity harness
-    (tools/model_parity.py)."""
+    (tools/model_parity.py).
+
+    `tv_scale` multiplies the batch-SUM terms (the TV and L1_mean
+    regularizers — Σ over batch of per-item reductions) so a microbatched
+    step can average chunk losses/grads and recover the full-batch
+    quantities exactly: mean terms decompose over equal chunks as-is, sum
+    terms need the chunk count folded in
+    (common.accumulate_microbatch_grads)."""
     out_vars = cfg["out_vars"]
     default_te = not (cfg["TE1"] != 0.0013 and cfg["dTE"] != 0.0021)
     unet_like = cfg["G_model"] in ("U-Net", "MEBCRN")
@@ -185,10 +194,14 @@ def make_loss_fn(cfg, model):
 
         reg = 0.0
         if out_vars not in ("WF", "WFc"):
-            r2_tv = jnp.sum(total_variation_2d(A2B_R2)) * cfg["R2_TV_weight"]
-            fm_tv = jnp.sum(total_variation_2d(A2B_FM)) * cfg["FM_TV_weight"]
-            r2_l1 = l1_mean(A2B_R2) * cfg["R2_L1_weight"]
-            fm_l1 = l1_mean(A2B_FM) * cfg["FM_L1_weight"]
+            r2_tv = (jnp.sum(total_variation_2d(A2B_R2))
+                     * cfg["R2_TV_weight"] * tv_scale)
+            fm_tv = (jnp.sum(total_variation_2d(A2B_FM))
+                     * cfg["FM_TV_weight"] * tv_scale)
+            # l1_mean is also a batch-SUM term (Σ over batch of per-item
+            # means, regs.py:27), so it carries tv_scale like the TVs.
+            r2_l1 = l1_mean(A2B_R2) * cfg["R2_L1_weight"] * tv_scale
+            fm_l1 = l1_mean(A2B_FM) * cfg["FM_L1_weight"] * tv_scale
             reg = r2_tv + fm_tv + r2_l1 + fm_l1
             metrics.update(TV_R2=r2_tv, TV_FM=fm_tv, L1_R2=r2_l1,
                            L1_FM=fm_l1)
@@ -207,6 +220,8 @@ def make_train_step(cfg, model):
         int(cfg["epoch_decay"] * total_steps / max(cfg["epochs"], 1)))
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])
 
+    micro = int(cfg.get("microbatch", 0) or 0)
+
     # Donating the state halves the params+opt-state HBM footprint on
     # TPU (old and new trees never coexist); callers must reassign
     # `state = train_step(state, ...)` — all CLIs/benchmarks do. On the
@@ -214,8 +229,21 @@ def make_train_step(cfg, model):
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: SupState, batch, key):
         A, B, te = batch
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, A, B, te, key)
+        if micro:
+            # Gradient accumulation over batch chunks: the scan body's
+            # backward is a batch-`micro` plan, which compiles where the
+            # monolithic f32 384²·b8 backward crashes the XLA compiler
+            # (docs/DESIGN.md "f32 compiler crash"). Exact: mean terms
+            # average over equal chunks; the TV sums carry tv_scale.
+            n_chunks = A.shape[0] // micro
+            lf = make_loss_fn(cfg, model, tv_scale=float(n_chunks))
+            grad_fn = lambda p, chunk, k: jax.value_and_grad(
+                lf, has_aux=True)(p, *chunk, k)
+            (loss, metrics), grads = accumulate_microbatch_grads(
+                grad_fn, state.params, (A, B, te), key, micro)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, A, B, te, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["G_loss"] = loss

@@ -49,13 +49,15 @@ from .. import physics
 from ..ops import synthesize_fused
 from ..losses import l1_mean, total_variation_2d
 from ..models import MDWFNet, UNet, VETNet
-from .common import linear_decay_schedule, make_adam
+from .common import (accumulate_microbatch_grads,
+                     linear_decay_schedule, make_adam)
 
 DEFAULTS = dict(
     dataset="TEaug-300", n_echoes=6, field=1.5, G_model="PM-Gen",
     out_vars="PM", n_G_filters=72, batch_size=8, epochs=100, epoch_decay=100,
     epoch_ckpt=10, lr=0.0002, beta_1=0.9, beta_2=0.9999, noise_std=0.1,
-    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4, bf16=False, remat=False,
+    FM_aug=False, FM_mean=1.0, bip_grad=False, data_aug_p=0.4, bf16=False,
+    remat=False, microbatch=0,
     R2_TV_weight=0.0, FM_TV_weight=0.0, sel_weight=False, sel_weight_pwr=1.0,
     te_input=True,
     R2_SelfAttention=False, FM_SelfAttention=True,
@@ -163,7 +165,13 @@ def _predict_pm(cfg, model, params, params_r2, A, te_vec, r2_model=None,
     raise NameError(g)
 
 
-def make_train_step(cfg, model, r2_model=None):
+def make_loss_fn(cfg, model, r2_model=None, tv_scale: float = 1.0):
+    """TEaug generator loss (reference train_G, train-IDEAL-TEaug.py:
+    237-360) as a standalone `loss_fn(params, params_r2, B, te, key)`.
+
+    `tv_scale` multiplies the batch-SUM terms (TV regularizers) so the
+    microbatched step's chunk-averaged loss/grads equal the full-batch
+    quantities exactly (common.accumulate_microbatch_grads)."""
     g_model = cfg["G_model"]
     out_vars = cfg["out_vars"]
 
@@ -228,11 +236,19 @@ def make_train_step(cfg, model, r2_model=None):
                                       keepdims=True))
             wf_mae = jnp.mean(jnp.abs(B_wf_abs - wf_abs))
 
-        r2_tv = jnp.sum(total_variation_2d(r2[:, 0])) * cfg["R2_TV_weight"]
-        fm_tv = jnp.sum(total_variation_2d(fm[:, 0])) * cfg["FM_TV_weight"]
+        r2_tv = (jnp.sum(total_variation_2d(r2[:, 0]))
+                 * cfg["R2_TV_weight"] * tv_scale)
+        fm_tv = (jnp.sum(total_variation_2d(fm[:, 0]))
+                 * cfg["FM_TV_weight"] * tv_scale)
         loss = sup + r2_tv + fm_tv
         return loss, {"PM_loss": sup, "WF_loss": wf_mae, "TV_R2": r2_tv,
                       "TV_FM": fm_tv, "G_loss": loss}
+    return loss_fn
+
+
+def make_train_step(cfg, model, r2_model=None):
+    loss_fn = make_loss_fn(cfg, model, r2_model)
+    micro = int(cfg.get("microbatch", 0) or 0)
 
     total_steps = cfg.get("total_steps", cfg["epochs"])
     schedule = linear_decay_schedule(
@@ -243,9 +259,21 @@ def make_train_step(cfg, model, r2_model=None):
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TEAugState, batch, key):
         B, te = batch
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.params_r2, B, te,
-                                   key)
+        if micro:
+            # Gradient accumulation over batch chunks (scan body backward
+            # is a batch-`micro` plan — compiles where the monolithic f32
+            # 384²·b8 backward crashes the XLA compiler, docs/DESIGN.md).
+            n_chunks = B.shape[0] // micro
+            lf = make_loss_fn(cfg, model, r2_model,
+                              tv_scale=float(n_chunks))
+            grad_fn = lambda p, chunk, k: jax.value_and_grad(
+                lf, has_aux=True)(p, state.params_r2, *chunk, k)
+            (loss, metrics), grads = accumulate_microbatch_grads(
+                grad_fn, state.params, (B, te), key, micro)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.params_r2, B, te,
+                                       key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state._replace(params=params, opt_state=opt_state,

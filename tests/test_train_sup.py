@@ -39,6 +39,86 @@ def run_steps(cfg_overrides, n_steps=3):
     return losses, state
 
 
+class TestMicrobatch:
+    def test_microbatched_step_matches_monolithic(self):
+        """--microbatch gradient accumulation matches the monolithic
+        step: with noise off, the chunk-scanned step reproduces the
+        loss/metrics/params (TV sums recovered via tv_scale; mean terms
+        average over equal chunks). Exact in real arithmetic; in f32 XLA
+        lowers batch-2 and batch-8 convs to different reduction orders
+        and the norm chain amplifies the reassociation, so the observed
+        agreement is ~1e-4 rel — the tolerance reflects that, not a math
+        difference. This is the f32-compiler-crash workaround path
+        (docs/DESIGN.md), so agreement is load-bearing."""
+        base = dict(sup.DEFAULTS)
+        base.update(n_G_filters=8, batch_size=8, epochs=2,
+                    out_vars="WF-PM", G_model="U-Net",
+                    R2_TV_weight=1e-4, FM_TV_weight=1e-4,
+                    R2_L1_weight=1e-4, FM_L1_weight=1e-4)
+        acqs, maps, te = make_dataset()
+        batch = tuple(jnp.asarray(b[:8]) for b in (acqs, maps, te))
+        key = jax.random.PRNGKey(3)
+
+        from ideal_gan_tpu.train.common import accumulate_microbatch_grads
+
+        cfg = dict(base, microbatch=0)
+        model = sup.build_model(cfg)
+        step_fn, tx = sup.make_train_step(cfg, model)
+        state = sup.init_state(cfg, model, tx, jax.random.PRNGKey(0),
+                               acqs[:1])
+
+        # Grad-level comparison (pre-Adam: Adam divides by sqrt(v), which
+        # amplifies reassociation noise on near-zero grads to O(lr)).
+        micro = 2
+        n_chunks = batch[0].shape[0] // micro
+        loss_full = sup.make_loss_fn(cfg, model)
+        loss_chunk = sup.make_loss_fn(cfg, model, tv_scale=float(n_chunks))
+        (l_full, m_full), g_full = jax.jit(jax.value_and_grad(
+            loss_full, has_aux=True))(state.params, *batch, key)
+
+        grad_fn = lambda p, chunk, k: jax.value_and_grad(
+            loss_chunk, has_aux=True)(p, *chunk, k)
+        (l_micro, m_micro), g_micro = jax.jit(
+            lambda p, b, k: accumulate_microbatch_grads(
+                grad_fn, p, b, k, micro))(state.params, batch, key)
+
+        for k in m_full:
+            np.testing.assert_allclose(
+                np.asarray(m_micro[k]), np.asarray(m_full[k]),
+                rtol=2e-3, atol=1e-6, err_msg=f"metric {k}")
+        np.testing.assert_allclose(float(l_micro), float(l_full), rtol=2e-3)
+        # Global-norm-relative grad agreement: ‖g_micro − g_full‖ ≤
+        # 2e-3 ‖g_full‖ over the whole tree.
+        d2 = sum(float(jnp.sum(jnp.square(a - b))) for a, b in zip(
+            jax.tree.leaves(g_full), jax.tree.leaves(g_micro)))
+        n2 = sum(float(jnp.sum(jnp.square(a)))
+                 for a in jax.tree.leaves(g_full))
+        assert d2 <= (2e-3) ** 2 * n2, (d2, n2)
+
+        # And the microbatched train step itself runs and stays finite.
+        cfg_m = dict(base, microbatch=micro)
+        model_m = sup.build_model(cfg_m)
+        step_m, tx_m = sup.make_train_step(cfg_m, model_m)
+        state_m = sup.init_state(cfg_m, model_m, tx_m, jax.random.PRNGKey(0),
+                                 acqs[:1])
+        state_m, metrics_m = step_m(state_m, batch, key)
+        assert np.isfinite(float(metrics_m["G_loss"]))
+        np.testing.assert_allclose(float(metrics_m["G_loss"]),
+                                   float(l_full), rtol=2e-3)
+
+    def test_microbatch_requires_divisible_batch(self):
+        cfg = dict(sup.DEFAULTS)
+        cfg.update(n_G_filters=8, batch_size=8, microbatch=3, epochs=2)
+        model = sup.build_model(cfg)
+        acqs, maps, te = make_dataset()
+        step_fn, tx = sup.make_train_step(cfg, model)
+        state = sup.init_state(cfg, model, tx, jax.random.PRNGKey(0),
+                               acqs[:1])
+        batch = tuple(jnp.asarray(b[:8]) for b in (acqs, maps, te))
+        with pytest.raises(ValueError, match="divisible"):
+            step_fn(state, batch, jax.random.PRNGKey(0))
+
+
 class TestSupTrainer:
     @pytest.mark.smoke
     def test_wf_mode_loss_decreases(self):

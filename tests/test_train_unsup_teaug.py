@@ -144,6 +144,66 @@ class TestTEAug:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
 
+    def test_microbatched_step_matches_monolithic(self):
+        """--microbatch grad accumulation matches the monolithic step
+        (noise_std=0 so the per-chunk key split is inert; TV sums
+        recovered via tv_scale). Exact in real arithmetic; f32 lowers
+        batch-4 vs batch-8 convs to different reduction orders, so the
+        tolerance covers reassociation noise, not a math difference."""
+        base = dict(teaug.DEFAULTS)
+        base.update(n_G_filters=4, batch_size=8, epochs=2, noise_std=0.0,
+                    R2_TV_weight=1e-4, FM_TV_weight=1e-4)
+        maps, _, _ = synth_batch()
+        rng = np.random.default_rng(0)
+        te = teaug.sample_te(rng, base, 8)
+        batch = (jnp.asarray(maps), jnp.asarray(te))
+        key = jax.random.PRNGKey(7)
+
+        from ideal_gan_tpu.train.common import accumulate_microbatch_grads
+
+        cfg = dict(base, microbatch=0)
+        model = teaug.build_model(cfg)
+        step_fn, tx = teaug.make_train_step(cfg, model)
+        state = teaug.init_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                 h=32, w=32)
+
+        # Grad-level comparison (pre-Adam: Adam divides by sqrt(v),
+        # amplifying reassociation noise on near-ε grads to O(lr)).
+        micro = 4
+        n_chunks = batch[0].shape[0] // micro
+        loss_full = teaug.make_loss_fn(cfg, model)
+        loss_chunk = teaug.make_loss_fn(cfg, model,
+                                        tv_scale=float(n_chunks))
+        (l_full, m_full), g_full = jax.jit(jax.value_and_grad(
+            loss_full, has_aux=True))(state.params, None, *batch, key)
+
+        grad_fn = lambda p, chunk, k: jax.value_and_grad(
+            loss_chunk, has_aux=True)(p, None, *chunk, k)
+        (l_micro, m_micro), g_micro = jax.jit(
+            lambda p, b, k: accumulate_microbatch_grads(
+                grad_fn, p, b, k, micro))(state.params, batch, key)
+
+        for k in m_full:
+            np.testing.assert_allclose(
+                np.asarray(m_micro[k]), np.asarray(m_full[k]),
+                rtol=2e-3, atol=1e-6, err_msg=f"metric {k}")
+        # Global-norm-relative grad agreement.
+        d2 = sum(float(jnp.sum(jnp.square(a - b))) for a, b in zip(
+            jax.tree.leaves(g_full), jax.tree.leaves(g_micro)))
+        n2 = sum(float(jnp.sum(jnp.square(a)))
+                 for a in jax.tree.leaves(g_full))
+        assert d2 <= (2e-3) ** 2 * n2, (d2, n2)
+
+        # The microbatched train step itself runs and matches the loss.
+        cfg_m = dict(base, microbatch=micro)
+        model_m = teaug.build_model(cfg_m)
+        step_m, tx_m = teaug.make_train_step(cfg_m, model_m)
+        state_m = teaug.init_state(cfg_m, model_m, tx_m,
+                                   jax.random.PRNGKey(0), h=32, w=32)
+        state_m, metrics_m = step_m(state_m, batch, key)
+        np.testing.assert_allclose(float(metrics_m["G_loss"]),
+                                   float(l_full), rtol=2e-3)
+
     def _run_model(self, cfg_over, n_steps=6, with_r2=False):
         cfg = dict(teaug.DEFAULTS)
         cfg.update(n_G_filters=4, batch_size=8, epochs=2, **cfg_over)
