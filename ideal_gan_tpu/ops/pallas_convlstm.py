@@ -422,12 +422,15 @@ def _block_shape_bwd(h: int, w: int, ne: int, f: int, cin: int,
     per-echo hidden/cell state stacks live in VMEM scratch)."""
     budget = 9 * 2 ** 20
     c = cin + f
+    cp = -(-( -(-cin // 8) * 8 + f) // 8) * 8  # padded Cp slot (dinp)
     per_m = (2 * ne * f * itemsize           # h/c state stacks (scratch)
              + 4 * f * 4                     # gates (f32)
              + 2 * 4 * f * 4                 # dgates f32 + vjp temps
              + 4 * f * itemsize              # dgates cast for matmuls
              + 3 * c * itemsize              # dy-row stack scratch
              + 2 * c * itemsize              # inp + rolled copy
+             + 3 * cp * 4                    # dinp dy-row product (f32)
+             + cp * 4                        # ysc tap scratch (f32)
              + c * 4                         # dinp accumulator (f32)
              + 3 * f * 4                     # dh, dc, dc_tot (f32)
              + 2 * f * itemsize              # g input (dbl-buffered)
@@ -453,9 +456,9 @@ def _block_shape_bwd(h: int, w: int, ne: int, f: int, cin: int,
 
 
 def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
-                f, cin, x_ref, g_ref, k_ref, ktx_ref, kth_ref, b_ref,
+                f, cin, x_ref, g_ref, k_ref, ktall_ref, b_ref,
                 dx_ref, dk_ref, db_ref, sth_ref, stc_ref, stack_ref,
-                dxs_ref):
+                dxs_ref, ysc_ref):
     """One grid cell: recompute the recurrence with states in VMEM, then
     reverse-sweep it. halo = ne+1 (one ring more than the forward: the
     reverse taint front and the legit gradient front both move 1 px per
@@ -467,11 +470,14 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
             owned region (gradients are additive over blocks: each block
             back-propagates exactly the chains rooted at its own g)
     k_ref:  (3, 4F, 3C) dy-row stacked kernel (as the forward)
-    ktx_ref/kth_ref: (9, Cin, 4F) / (9, F, 4F) per-tap UNtransposed
-            kernel, split at the x/hidden boundary (for the transposed
-            conv back to the inputs; the split avoids an offset-Cin
-            value slice of the dinp accumulator, which crashes Mosaic
-            in combination with the reverse recurrence)
+    ktall_ref: (3, 3Cp, 4F) transposed-conv kernel for the dinp stage,
+            dx-tap-stacked per dy row: one (3Cp, 4F)×(4F, m) matmul per
+            dy (~94 % MXU M-fill) replaces the 18 per-tap dots/echo
+            that ran at M=Cin and M=F fill. Within each Cp slot the x
+            rows sit at offset 0 and the hidden rows at the
+            granule-aligned offset hoff=ceil8(Cin), so the dx/dh split
+            slices only at aligned offsets (an offset-Cin value slice
+            crashes Mosaic in combination with the reverse recurrence)
     b_ref:  (4F, 1)
     dx_ref: (1, 1, 1, ne·Cin, M) per-window dx (echo-major rows; the
             host reshapes) — the host overlap-adds (windows overlap by
@@ -580,21 +586,28 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
             dk_ref[i_dy] += lax.dot_general(
                 dgates_mm, stack_ref[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        # transposed conv back to x and hidden separately. The roll is
-        # hoisted INTO the matmul operand — roll(kT@dg, s) = kT@roll(dg,
-        # s) — so the rolled tensor is the healthy 128-row dgates
-        # consumed directly by a dot (legal for lazy offsets), and the
-        # dxe/dhn accumulators only ever add offset-0 matmul outputs.
-        # Rolling the 2-row dxe products instead hangs Mosaic for >13
-        # min; accumulating rolled dhn products crashes it.
+        # transposed conv back to x and hidden: one dx-tap-stacked
+        # (3Cp, 4F)×(4F, m) matmul per dy row (ktall_ref layout above),
+        # then the roll is hoisted onto the OUTPUT — roll(kT@dg, s) =
+        # kT@roll(dg, s) — with each rolled tap slice STORED to VMEM
+        # scratch first: stores materialize the lazy lane offset, so
+        # the dxe/dhn accumulators only ever add materialized values
+        # (accumulating rolled products directly crashes Mosaic;
+        # rolling the dgates operand instead — the previous form —
+        # forced 18 per-tap dots/echo at M=Cin / M=F MXU fill).
+        hoff = -(-cin // 8) * 8
+        cp = ysc_ref.shape[0]
         dxe = jnp.zeros((cin, m), jnp.float32)
         dhn = jnp.zeros((f, m), jnp.float32)
-        for t, (dy, dx) in enumerate(_TAPS):
-            dg_t = _roll(dgates_mm, dy * wp + dx)
-            dxe = dxe + jnp.dot(ktx_ref[t], dg_t,
-                                preferred_element_type=jnp.float32)
-            dhn = dhn + jnp.dot(kth_ref[t], dg_t,
-                                preferred_element_type=jnp.float32)
+        for i_dy, dy in enumerate((-1, 0, 1)):
+            y = jnp.dot(ktall_ref[i_dy], dgates_mm,
+                        preferred_element_type=jnp.float32)  # (3Cp, m)
+            for i_dx, dx in enumerate((-1, 0, 1)):
+                ysc_ref[...] = _roll(y[i_dx * cp:(i_dx + 1) * cp],
+                                     dy * wp + dx)
+                yv = ysc_ref[...]
+                dxe = dxe + yv[0:cin]
+                dhn = dhn + yv[hoff:hoff + f]
         dx_mask = (depth >= jnp.maximum(halo - s - 1, 1)).astype(
             jnp.float32)
         dxs_ref[e * cin:(e + 1) * cin] = (dxe * dx_mask).astype(dtype)
@@ -644,12 +657,24 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
         [jnp.concatenate([k_merged[dy + 1, 0].T, k_merged[dy + 1, 1].T,
                           k_merged[dy + 1, 2].T], axis=1)
          for dy in (-1, 0, 1)], axis=0).astype(dtype)       # (3, 4F, 3C)
-    ktx_mat = jnp.stack([k_merged[dy + 1, dx + 1, :cin]
-                         for dy, dx in _TAPS],
-                        axis=0).astype(dtype)               # (9, Cin, 4F)
-    kth_mat = jnp.stack([k_merged[dy + 1, dx + 1, cin:]
-                         for dy, dx in _TAPS],
-                        axis=0).astype(dtype)               # (9, F, 4F)
+    # Transposed-conv kernel for the dinp stage, dx-tap-stacked per dy
+    # row so the whole row runs as ONE (3·Cp, 4F)×(4F, m) matmul at
+    # ~94 % MXU M-fill (the per-tap form ran 18 dots/echo at M=Cin=2
+    # and M=F fill). Each Cp slot keeps the x rows at offset 0 and the
+    # hidden rows at the f32-sublane-granule-aligned offset `hoff`, so
+    # the kernel's dx/dh split never slices a value at offset Cin
+    # (which crashes Mosaic — see the dinp notes in _bwd_kernel).
+    hoff = -(-cin // 8) * 8
+    cp = -(-(hoff + f) // 8) * 8
+    pad_rows = jnp.zeros((hoff - cin, 4 * f), k_merged.dtype)
+    tail_rows = jnp.zeros((cp - hoff - f, 4 * f), k_merged.dtype)
+    ktall_mat = jnp.stack(
+        [jnp.concatenate(
+            [jnp.concatenate([k_merged[dy + 1, dx + 1, :cin], pad_rows,
+                              k_merged[dy + 1, dx + 1, cin:], tail_rows],
+                             axis=0)
+             for dx in (-1, 0, 1)], axis=0)
+         for dy in (-1, 0, 1)], axis=0).astype(dtype)       # (3, 3Cp, 4F)
     b2 = bias.reshape(4 * f, 1).astype(dtype)
 
     kern = functools.partial(_bwd_kernel, activation, recurrent_activation,
@@ -662,8 +687,7 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
                          lambda b, i, j: (b, i, j, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, f, m), lambda b, i, j: (b, i, j, 0, 0)),
             pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((9, cin, 4 * f), lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((9, f, 4 * f), lambda b, i, j: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * cp, 4 * f), lambda b, i, j: (0, 0, 0)),
             pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
         ],
         out_specs=[
@@ -680,9 +704,10 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
         scratch_shapes=[pltpu.VMEM((ne, f, m), dtype),
                         pltpu.VMEM((ne, f, m), dtype),
                         pltpu.VMEM((3 * c, m), dtype),
-                        pltpu.VMEM((ne * cin, m), dtype)],
+                        pltpu.VMEM((ne * cin, m), dtype),
+                        pltpu.VMEM((cp, m), jnp.float32)],
         interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(xw, gw, k_mat, ktx_mat, kth_mat, b2)
+    )(xw, gw, k_mat, ktall_mat, b2)
 
     # overlap-add the dx windows (blocks legitimately write gradient
     # into their halos; windows overlap by 2·halo). Grouped: windows
