@@ -163,12 +163,16 @@ def main():
                                   ("cycle XLA", cycle_full, False)):
             g = _cycle_loss(fn, uniform)
             l, _ = g(pm, a_j, te_j)
-            jax.block_until_ready(l)
+            # drain-read: under the axon tunnel block_until_ready alone
+            # does not drain the dispatch queue for repeated same-input
+            # calls (docs/DESIGN.md tunnel-timing note) — round-4's
+            # "cycle XLA 0.08 ms" artifact
+            float(l)
             flops = _flops_of(g, pm, a_j, te_j)
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 l, gr = g(pm, a_j, te_j)
-            jax.block_until_ready(l)
+            float(l)
             dt = (time.perf_counter() - t0) / args.iters
             record(name, dt, nb, flops,
                    {"note": "cycle kernel fwd+bwd only"})
@@ -210,8 +214,24 @@ def main():
         # At the reference width (72f) the plain f32 step OOMs one 16 GB
         # v5e at 384²·b8 — the remat rows are the configuration that
         # actually fits (per-block rematerialization, models/unet.py).
+        # IDEAL_GAN_SKIP_CRASH_ROWS=1 records the two known
+        # compiler-crash f32 rows (docs/DESIGN.md) without attempting
+        # them — in round 5 the crashing compile started HANGING the
+        # tunnel helper indefinitely instead of failing in ~20 s, which
+        # wedges the whole matrix run.
+        import os as _os
+        skip_crash = (_os.environ.get("IDEAL_GAN_SKIP_CRASH_ROWS") == "1"
+                      and h >= 384 and nb >= 8)
         for bf16, remat in ((False, False), (True, False), (False, True),
                             (True, True)):
+            if skip_crash and not bf16:
+                results.append({
+                    "name": "teaug (VET)" + (" remat" if remat else ""),
+                    "failed": "known-compiler-crash (skipped; "
+                              "docs/DESIGN.md f32 crash)",
+                    "batch": nb, "size": h,
+                    "filters": width("teaug"), "remat": remat})
+                continue
             tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
                         batch_size=nb, epochs=1, bf16=bf16, remat=remat)
             model = teaug.build_model(tcfg)
@@ -299,8 +319,21 @@ def main():
         te2 = np.asarray(ph.te_train(6, bs=nb2))
         acqs2 = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps2),
                                                   jnp.asarray(te2)))
+        import os as _os
+        skip_crash = (_os.environ.get("IDEAL_GAN_SKIP_CRASH_ROWS") == "1"
+                      and h >= 384 and nb >= 8)
         for bf16, remat, mult in ((True, False, 2), (True, True, 4)):
             bs = mult * nb
+            if skip_crash and remat and mult == 4:
+                # bf16 remat b32: known compiler crash (BENCH_train_r03;
+                # in round 5 the crashing compile hangs the tunnel)
+                results.append({
+                    "name": f"sup (PM) bf16 remat b{bs}",
+                    "failed": "known-compiler-crash (skipped; "
+                              "docs/DESIGN.md f32 crash class)",
+                    "batch": bs, "size": h, "filters": width("sup"),
+                    "remat": True})
+                continue
             cfg = dict(sup.DEFAULTS, n_G_filters=width("sup"), batch_size=bs,
                        epochs=1, out_vars="PM", bf16=bf16, remat=remat)
             model = sup.build_model(cfg)

@@ -90,6 +90,12 @@ def make_infer_run(cfg, acqs):
     restores the checkpoint and closes over the params ONCE — callers
     (cli.infer) reuse the closure across chunks so jit traces/compiles a
     single time. `acqs` is used for init shapes only."""
+    import os
+    # Forward-only serving: the fused ConvLSTM FORWARD is 1.9–2.3× the
+    # XLA recurrence at both dtypes (docs/DESIGN.md round 5), so opt in
+    # regardless of compute dtype (the bf16-only default gates on the
+    # backward's economics, which inference never pays).
+    os.environ.setdefault("IDEAL_GAN_CONVLSTM_FUSED", "1")
     sel = cfg["model_sel"]
     try:
         exp_cfg = load_settings(cfg["experiment_dir"])

@@ -121,6 +121,18 @@ class ConvLSTM(nn.Module):
     # (CPU tests/meshes) the unrolled XLA path below runs — identical
     # math, so the flag never changes results beyond f32 summation
     # order.
+    #
+    # Default policy (round-5 hardware measurement, docs/DESIGN.md): the
+    # fused path engages for **bfloat16** compute — the operating point
+    # where the full fwd+bwd pair beats this module's XLA form at the
+    # trainer level (unsup 138.2 vs 141.7 ms). At f32 the pair measures
+    # 0.85× the XLA recurrence (the bwd kernel's VMEM state stacks cap
+    # its halo efficiency at ~30 %), so f32 *training* keeps the XLA
+    # path. Forward-only callers (serving/eval, where the fused forward
+    # is 1.9–2.3× at BOTH dtypes) opt in via
+    # IDEAL_GAN_CONVLSTM_FUSED=1 (cli inference paths set it).
+    # Env: unset/auto = bf16-only on TPU; "1" = any dtype on TPU;
+    # "0" = never; "force" = anywhere (interpret off-TPU; tests).
     fused: bool = True
 
     @nn.compact
@@ -137,9 +149,10 @@ class ConvLSTM(nn.Module):
         k_merged = jnp.concatenate([k_x, k_h], axis=2).astype(self.dtype)
         bias = bias.astype(self.dtype)
 
-        if (self.fused and (kh, kw) == (3, 3)
-                and os.environ.get("IDEAL_GAN_CONVLSTM_FUSED", "1") != "0"
-                and jax.default_backend() == "tpu"):
+        env = os.environ.get("IDEAL_GAN_CONVLSTM_FUSED", "auto")
+        dtype_ok = (self.dtype == jnp.bfloat16) if env == "auto" else True
+        if (self.fused and (kh, kw) == (3, 3) and env != "0" and dtype_ok
+                and (jax.default_backend() == "tpu" or env == "force")):
             from ..ops.pallas_convlstm import convlstm_fused
             return convlstm_fused(x.astype(self.dtype), k_merged, bias,
                                   self.activation,

@@ -52,6 +52,7 @@ state — no O(ne·4F) gate residuals held across the loss computation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,11 +60,20 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partition import dp_partitioned
+
 _TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def _use_fused() -> bool:
+    """Fused path on TPU, or anywhere with IDEAL_GAN_CONVLSTM_FUSED=force
+    (interpret-mode kernels — used by the CPU-mesh partitioning tests)."""
+    return (_on_tpu()
+            or os.environ.get("IDEAL_GAN_CONVLSTM_FUSED") == "force")
 
 
 def _act_fn(name):
@@ -276,21 +286,30 @@ def convlstm_pallas(x, k_merged, bias, activation="leaky_relu",
 
     kern = functools.partial(_fwd_kernel, activation, recurrent_activation,
                              ne, th, wc, halo, h, w, f, stack_taps)
-    out = pl.pallas_call(
-        kern,
-        grid=(nb, nh, nw),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, ne, cin, m),
-                         lambda b, i, j: (b, i, j, 0, 0, 0)),
-            pl.BlockSpec(k_mat.shape, lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, f, m),
-                               lambda b, i, j: (b, i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, nh, nw, f, m), dtype),
-        scratch_shapes=[pltpu.VMEM((3 * c, m), dtype)],
-        interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(windows, k_mat, b2)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    k_shape = k_mat.shape
+
+    def impl(windows_, k_mat_, b2_):
+        nb_ = windows_.shape[0]  # local (per-shard) batch under DP
+        return (pl.pallas_call(
+            kern,
+            grid=(nb_, nh, nw),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, ne, cin, m),
+                             lambda b, i, j: (b, i, j, 0, 0, 0)),
+                pl.BlockSpec(k_shape, lambda b, i, j: (0, 0, 0)),
+                pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, f, m),
+                                   lambda b, i, j: (b, i, j, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb_, nh, nw, f, m), dtype),
+            scratch_shapes=[pltpu.VMEM((3 * c, m), dtype)],
+            interpret=interp,
+        )(windows_, k_mat_, b2_),)
+
+    # batch-elementwise → DP-shardable (see partition.py)
+    wrapped = dp_partitioned(impl, (True, False, False), (True,))
+    (out,) = wrapped(windows, k_mat, b2)
 
     return _crop(out, nb, nh, nw, th, wc, halo, f)
 
@@ -337,7 +356,7 @@ def convlstm_fused(x, k_merged, bias, activation="leaky_relu",
     backward rematerializes the per-echo states (one XLA forward) and
     runs a hand-written reverse sweep — nothing but (x, k, bias) is
     saved across the loss computation."""
-    if _on_tpu():
+    if _use_fused():
         return convlstm_pallas(x, k_merged, bias, activation,
                                recurrent_activation)
     return _jnp_reference(x, k_merged, bias, activation,
@@ -371,7 +390,7 @@ def _fused_bwd(activation, recurrent_activation, res, g):
     across the loss computation — autodiff would hold 4F
     pre-activations + pointwise products per echo."""
     x, k_merged, bias = res
-    if _on_tpu():
+    if _use_fused():
         return convlstm_bwd_pallas(x, k_merged, bias, g, activation,
                                    recurrent_activation)
     act = _act_fn(activation)
@@ -485,8 +504,11 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
             contributions into its halo). Rows accumulate in dxs_ref
             and store once: per-echo 2-row stores into a 6-D output
             block crash Mosaic
-    dk_ref: (3, 4F, 3C) f32, accumulated across the whole grid
-    db_ref: (4F, 1) f32, accumulated across the whole grid
+    dk_ref: (1, 3, 4F, 3C) f32 — PER-BATCH slot, accumulated over the
+            spatial grid only; the host sums over nb in XLA. Keeping the
+            kernel batch-elementwise lets dp_partitioned shard it under
+            DP (the nb-sum outside becomes the gradient all-reduce)
+    db_ref: (1, 4F, 1) f32, same per-batch accumulation
     sth_ref/stc_ref: (ne, F, M) per-echo state scratch
     stack_ref: (3C, M) dy-row stack scratch
     dxs_ref: (ne·Cin, M) dx accumulator scratch
@@ -502,7 +524,9 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
     m = r * wp
     c = cin + f
 
-    @pl.when((b_blk == 0) & (i_blk == 0) & (j_blk == 0))
+    del b_blk  # dk/db blocks are per-batch; init at each batch's first cell
+
+    @pl.when((i_blk == 0) & (j_blk == 0))
     def _init():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
@@ -574,7 +598,7 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
         # dk/db/dx or the next echo
         front = (depth >= (halo - s)).astype(jnp.float32)
         dgates = dgates * front
-        db_ref[...] += jnp.sum(dgates, axis=1, keepdims=True)
+        db_ref[0] += jnp.sum(dgates, axis=1, keepdims=True)
         dgates_mm = dgates.astype(dtype)
         # dk: rebuild the dy-row stacks (same contents as gates_at left
         # them for dy=+1 only) and contract over the flat positions
@@ -583,7 +607,7 @@ def _bwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
             stack_ref[0:c] = _roll(rowv, 1)
             stack_ref[c:2 * c] = rowv
             stack_ref[2 * c:] = _roll(rowv, -1)
-            dk_ref[i_dy] += lax.dot_general(
+            dk_ref[0, i_dy] += lax.dot_general(
                 dgates_mm, stack_ref[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         # transposed conv back to x and hidden: one dx-tap-stacked
@@ -625,9 +649,21 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
     Per spatial block: recompute the recurrence with per-echo states in
     VMEM, then sweep reverse-time — gates recomputed per echo from the
     resident states, exact pointwise derivatives via an in-kernel
-    jax.vjp of the cell, transposed conv as per-tap K=4F matmuls with
-    roll-after-matmul. HBM traffic: x + g in once, dx out once; dk/db
-    accumulate in VMEM across the (sequential) TPU grid."""
+    jax.vjp of the cell, and the transposed conv back to (dx, dh) as ONE
+    dx-tap-stacked (3Cp, 4F)×(4F, m) matmul per dy row (~94 % MXU
+    M-fill; see ktall_ref in _bwd_kernel), with the tap roll hoisted
+    onto the matmul OUTPUT and materialized through VMEM scratch. HBM
+    traffic: x + g in once, dx out once; dk/db accumulate in VMEM
+    per-batch across the (sequential) spatial grid, summed over nb in
+    XLA outside (the DP all-reduce under sharding).
+
+    Validated on TPU v5e at 384²·b8·F32 (round 5, docs/DESIGN.md): bwd
+    alone 215.6 ms f32 / 86.1 ms bf16 vs 244.1 / 143.2 for the XLA
+    rematerialized reverse sweep (the custom_vjp's like-for-like
+    memory-lean alternative) — 1.13× / 1.66×. Plain full-residual
+    autodiff is faster at f32 (≈156 ms bwd) but holds every per-echo
+    gate tensor across the loss — the HBM blow-up this custom_vjp
+    exists to avoid."""
     nb, ne, h, w, cin = x.shape
     f = k_merged.shape[-1] // 4
     c = cin + f
@@ -679,35 +715,51 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
 
     kern = functools.partial(_bwd_kernel, activation, recurrent_activation,
                              ne, th, wc, halo, h, w, f, cin)
-    dxw, dk, db = pl.pallas_call(
-        kern,
-        grid=(nb, nh, nw),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, ne, cin, m),
-                         lambda b, i, j: (b, i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, f, m), lambda b, i, j: (b, i, j, 0, 0)),
-            pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((3, 3 * cp, 4 * f), lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, ne * cin, m),
-                         lambda b, i, j: (b, i, j, 0, 0)),
-            pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
-            pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, nh, nw, ne * cin, m), dtype),
-            jax.ShapeDtypeStruct((3, 4 * f, 3 * c), jnp.float32),
-            jax.ShapeDtypeStruct((4 * f, 1), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((ne, f, m), dtype),
-                        pltpu.VMEM((ne, f, m), dtype),
-                        pltpu.VMEM((3 * c, m), dtype),
-                        pltpu.VMEM((ne * cin, m), dtype),
-                        pltpu.VMEM((cp, m), jnp.float32)],
-        interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(xw, gw, k_mat, ktall_mat, b2)
+    interp = (not _on_tpu()) if interpret is None else interpret
+
+    def impl(xw_, gw_, k_mat_, ktall_mat_, b2_):
+        nb_ = xw_.shape[0]  # local (per-shard) batch under DP
+        return pl.pallas_call(
+            kern,
+            grid=(nb_, nh, nw),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, ne, cin, m),
+                             lambda b, i, j: (b, i, j, 0, 0, 0)),
+                pl.BlockSpec((1, 1, 1, f, m),
+                             lambda b, i, j: (b, i, j, 0, 0)),
+                pl.BlockSpec((3, 4 * f, 3 * c), lambda b, i, j: (0, 0, 0)),
+                pl.BlockSpec((3, 3 * cp, 4 * f),
+                             lambda b, i, j: (0, 0, 0)),
+                pl.BlockSpec((4 * f, 1), lambda b, i, j: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, ne * cin, m),
+                             lambda b, i, j: (b, i, j, 0, 0)),
+                pl.BlockSpec((1, 3, 4 * f, 3 * c),
+                             lambda b, i, j: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 4 * f, 1), lambda b, i, j: (b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb_, nh, nw, ne * cin, m), dtype),
+                jax.ShapeDtypeStruct((nb_, 3, 4 * f, 3 * c), jnp.float32),
+                jax.ShapeDtypeStruct((nb_, 4 * f, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((ne, f, m), dtype),
+                            pltpu.VMEM((ne, f, m), dtype),
+                            pltpu.VMEM((3 * c, m), dtype),
+                            pltpu.VMEM((ne * cin, m), dtype),
+                            pltpu.VMEM((cp, m), jnp.float32)],
+            interpret=interp,
+        )(xw_, gw_, k_mat_, ktall_mat_, b2_)
+
+    # Batch-elementwise (dk/db per-batch slots) → DP-shardable; the
+    # nb-sums below run in XLA outside the kernel, so under DP they
+    # lower to the standard gradient all-reduce.
+    wrapped = dp_partitioned(impl, (True, True, False, False, False),
+                             (True, True, True))
+    dxw, dk_b, db_b = wrapped(xw, gw, k_mat, ktall_mat, b2)
+    dk = jnp.sum(dk_b, axis=0)
+    db = jnp.sum(db_b, axis=0)
 
     # overlap-add the dx windows (blocks legitimately write gradient
     # into their halos; windows overlap by 2·halo). Grouped: windows

@@ -241,12 +241,37 @@ def _vox_spec(k: int, tr: int):
 
 
 def _launch(kernel, smem_args, vox_inputs, out_ks):
-    """Run an elementwise voxel kernel over (nb, k, H, W) planar inputs.
+    """Run an elementwise voxel kernel over (nb, k, H, W) planar inputs,
+    partitionable along the batch axis under GSPMD.
 
-    When W is a multiple of 128 the grid blocks the native (H, W) tiling
-    directly — flattening to (H·W/128, 128) physically relayouts the
-    (8, 128) tiles (a full HBM copy). Otherwise inputs are flattened to
-    lane rows and padded. Returns one (nb, k, H, W) array per out_ks.
+    Every operand and result is batch-led and the kernels are
+    batch-elementwise, so the whole launch is wrapped in
+    `ops.partition.dp_partitioned`: inside a pjit'ed step with
+    batch-sharded inputs each device runs the kernel on its local shard
+    (zero collectives) instead of GSPMD's replicate-after-all-gather
+    fallback for opaque pallas_calls. See partition.py for the design
+    rule.
+    """
+    from .partition import dp_partitioned
+    n_smem = len(smem_args)
+    ks = tuple(k for _, k in vox_inputs)
+
+    def impl(*arrs):
+        vox = list(zip(arrs[n_smem:], ks))
+        return tuple(_launch_body(kernel, arrs[:n_smem], vox, out_ks))
+
+    arrays = tuple(smem_args) + tuple(x for x, _ in vox_inputs)
+    wrapped = dp_partitioned(impl, (True,) * len(arrays),
+                             (True,) * len(out_ks))
+    return list(wrapped(*arrays))
+
+
+def _launch_body(kernel, smem_args, vox_inputs, out_ks):
+    """The actual pallas launch (see `_launch`): when W is a multiple of
+    128 the grid blocks the native (H, W) tiling directly — flattening
+    to (H·W/128, 128) physically relayouts the (8, 128) tiles (a full
+    HBM copy). Otherwise inputs are flattened to lane rows and padded.
+    Returns one (nb, k, H, W) array per out_ks.
     """
     nb, _, hgt, wdt = vox_inputs[0][0].shape
     smem_specs = [_smem_spec(0) for _ in smem_args]
