@@ -68,7 +68,11 @@ def _loss(name):
     raise NameError(f"Unrecognized Main Loss Function {name!r}")
 
 
-def make_train_step(cfg, g_mag, g_pha):
+def make_loss_fn(cfg, g_mag, g_pha):
+    """The single-subject sep-phase cycle loss (reference train_G,
+    train-IDEAL-single.py:131-185) as a standalone
+    `loss_fn(params=(params_mag, params_pha), A, B, te)` — shared by the
+    train step and tools/model_parity.py."""
     bipolar = cfg["grad_mode"] == "bipolar"
     field = 3.0 if cfg["is_phantom"] else 1.5
     loss_fn_pt = _loss(cfg["main_loss"])
@@ -134,6 +138,11 @@ def make_train_step(cfg, g_mag, g_pha):
                         "TV_FM": fm_tv, "L1_FM": fm_l1, "BP_GR": bp_gr,
                         "G_loss": g_loss}
 
+    return loss_fn
+
+
+def make_train_step(cfg, g_mag, g_pha):
+    loss_fn = make_loss_fn(cfg, g_mag, g_pha)
     schedule = linear_decay_schedule(cfg["lr"], cfg["epochs"],
                                      cfg["epoch_decay"])
     tx = make_adam(schedule, cfg["beta_1"], cfg["beta_2"])

@@ -222,6 +222,10 @@ def make_loss_fn(cfg, model, r2_model=None, tv_scale: float = 1.0):
         else:
             pm = _predict_pm(cfg, model, params, params_r2, A, te_vec,
                              r2_model)
+            # Support mask to the GT PM rows (train-IDEAL-TEaug.py:295,
+            # the non-DL_gen path) — applied before the loss AND the TV
+            # regularizers, as the reference masks B2A2B_PM itself.
+            pm = jnp.where(B_pm != 0.0, pm, 0.0)
             if cfg["sel_weight"]:
                 sel_w = _selective_weight(cfg, B, A, te)
                 sel_w = jnp.concatenate([sel_w, sel_w], axis=-1)

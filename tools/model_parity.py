@@ -335,13 +335,212 @@ def mag_parity(h=32, nb=2, filters=8, seed=3, r2_tv_weight=1e-5):
             "grad_worst_leaf": gpath, "grad_scale": gscale}
 
 
+# --------------------------------------------------------------------------
+# teaug / PM (VET-Net: TE-LSTM→AdaIN conditioning + synthesis augmentation)
+# --------------------------------------------------------------------------
+
+def teaug_parity(h=32, nb=2, filters=8, seed=4, tv_weight=1e-5):
+    """One TE-augmented PM step: loss + grads, TF reference
+    (train-IDEAL-TEaug.py:205-360, PM branch with PM-Gen/VET-Net) vs the
+    Flax production loss. Pins the B→A synthesis through the physics
+    forward op, the TE-LSTM→AdaIN conditioned generator, the GT-support
+    masking of the PM prediction (:295) and the masked TV regularizers.
+
+    noise_std=0 on the Flax side: the reference's GaussianNoise layer
+    (:218) is called without `training=True` outside the tape, so it is
+    inactive in the reference computation being compared."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(seed)
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.bridge import (convert_pm_generator,
+                                      load_reference_dlmodule)
+    from ideal_gan_tpu.models import VETNet
+    from ideal_gan_tpu.train import teaug
+
+    ref = load_reference_dlmodule(str(REPO.parent / "reference"))
+    import wflib as wf
+
+    rng = np.random.default_rng(seed)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    maps *= (rng.random((nb, 1, h, h, 1)) > 0.2)  # support holes
+    te = np.asarray(ph.te_train(6, bs=nb))
+    te2d = te[..., 0]
+
+    cfg = dict(teaug.DEFAULTS, G_model="PM-Gen", out_vars="PM",
+               n_G_filters=filters, batch_size=nb, epochs=1,
+               noise_std=0.0, sel_weight=False,
+               R2_TV_weight=tv_weight, FM_TV_weight=tv_weight)
+    fmodel = VETNet(me_layer=True, te_input=True, filters=filters,
+                    num_layers=2)
+    kmodel = ref.PM_Generator((6, h, h, 2), ME_layer=True, te_input=True,
+                              filters=filters, num_layers=2)
+
+    # identical synthesized input for the weight bridge template
+    A0 = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps[:, :3]),
+                                           jnp.asarray(te)))
+    params = convert_pm_generator(kmodel, fmodel, jnp.asarray(A0),
+                                  jnp.asarray(te2d))
+
+    # --- TF loss/grads (train-IDEAL-TEaug.py:217-355, PM branch) -------
+    ideal_op = wf.IDEAL_Layer(field=cfg["field"])
+    b_tf = tf.constant(maps)
+    te_tf = tf.constant(te)
+    b_pm = b_tf[:, 2:]
+    mae = tf.losses.MeanAbsoluteError()
+    with tf.GradientTape() as t:
+        b2a = ideal_op(b_tf, te_tf, training=False)
+        b2a2b_pm = kmodel([b2a, tf.constant(te2d)], training=True)
+        b2a2b_pm = tf.where(b_pm != 0.0, b2a2b_pm, 0.0)
+        b2a2b_r2 = b2a2b_pm[:, 0, :, :, 1:]
+        b2a2b_fm = b2a2b_pm[:, 0, :, :, :1]
+        sup_loss = mae(b_pm, b2a2b_pm)
+        r2_tv = tf.reduce_sum(tf.image.total_variation(b2a2b_r2)) \
+            * cfg["R2_TV_weight"]
+        fm_tv = tf.reduce_sum(tf.image.total_variation(b2a2b_fm)) \
+            * cfg["FM_TV_weight"]
+        loss_tf = sup_loss + r2_tv + fm_tv
+    tf_grads = t.gradient(loss_tf, kmodel.trainable_variables)
+
+    # --- Flax loss/grads (the production loss_fn) ----------------------
+    loss_fn = teaug.make_loss_fn(cfg, fmodel)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params["params"], None, jnp.asarray(maps), jnp.asarray(te),
+        jax.random.PRNGKey(0))
+
+    tf_tree = _tf_grads_as_pytree(kmodel, tf_grads, convert_pm_generator,
+                                  fmodel, jnp.asarray(A0),
+                                  jnp.asarray(te2d))
+    loss_diff = abs(float(loss_tf) - float(loss)) / max(
+        abs(float(loss_tf)), 1.0)
+    gmax, gpath, gscale = _grad_compare(grads, tf_tree)
+    return {"loss_tf": float(loss_tf), "loss_flax": float(loss),
+            "loss_rel_diff": loss_diff, "grad_max_rel": gmax,
+            "grad_worst_leaf": gpath, "grad_scale": gscale}
+
+
+# --------------------------------------------------------------------------
+# single / sep-phase bipolar cycle
+# --------------------------------------------------------------------------
+
+def single_parity(h=32, nb=2, filters=8, seed=6, fm_tv_weight=1e-6,
+                  fm_l1_weight=1e-4, bp_gr_weight=1e-5):
+    """One single-subject self-supervised step: loss + grads, TF
+    reference (train-IDEAL-single.py:131-185, bipolar) vs the Flax
+    production loss. Pins the mag/phase dual-UNet heads, the sep_phase
+    forward model (IDEAL_mag_phase), the support masks, and all three
+    regularizer families incl. the bipolar x-gradient-sign and
+    left/right phase-symmetry terms (:169-173)."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(seed)
+
+    from ideal_gan_tpu import physics as ph
+    from ideal_gan_tpu.bridge import convert_unet, load_reference_dlmodule
+    from ideal_gan_tpu.train import single as single_tr
+
+    ref = load_reference_dlmodule(str(REPO.parent / "reference"))
+    import wflib as wf
+
+    rng = np.random.default_rng(seed)
+    maps = (rng.normal(size=(nb, 3, h, h, 2)) * 0.3).astype(np.float32)
+    maps *= (rng.random((nb, 1, h, h, 1)) > 0.2)  # support holes
+    te = np.asarray(ph.te_train(6, bs=nb))
+    A = np.asarray(jax.jit(ph.synthesize)(jnp.asarray(maps),
+                                          jnp.asarray(te)))
+    a_mag = np.sqrt(np.sum(np.square(A), axis=-1, keepdims=True))
+    a_pha = (np.arctan2(A[..., 1:], A[..., :1]) / np.pi).astype(np.float32)
+
+    cfg = dict(single_tr.DEFAULTS, grad_mode="bipolar", n_G_filters=filters,
+               epochs=1, main_loss="MSE", FM_TV_weight=fm_tv_weight,
+               FM_L1_weight=fm_l1_weight, BP_GR_weight=bp_gr_weight)
+    g_mag, g_pha = single_tr.build_models(cfg)
+    k_mag = ref.UNet((6, h, h, 1), n_out=3, ME_layer=True, filters=filters,
+                     output_activation="sigmoid",
+                     self_attention=cfg["D1_SelfAttention"])
+    k_pha = ref.UNet((6, h, h, 1), n_out=4, ME_layer=True, filters=filters,
+                     output_activation="linear",
+                     self_attention=cfg["D2_SelfAttention"])
+    params_mag = convert_unet(k_mag, g_mag, jnp.asarray(a_mag))
+    params_pha = convert_unet(k_pha, g_pha, jnp.asarray(a_pha))
+
+    # --- TF loss/grads (train-IDEAL-single.py:131-185) -----------------
+    ideal_op = wf.IDEAL_mag_Layer(sep_phase=True)
+    a_tf = tf.constant(A)
+    te_tf = tf.constant(te)
+    a_mag_tf = tf.constant(a_mag)
+    a_pha_tf = tf.constant(a_pha)
+    b_wf_abs = tf.transpose(
+        tf.math.sqrt(tf.reduce_sum(tf.square(maps[:, :2]), axis=-1,
+                                   keepdims=True)), perm=[0, 4, 2, 3, 1])
+    b_mag_msk = tf.concat([b_wf_abs, b_wf_abs[..., :1]], axis=-1)
+    b_pha_msk = tf.concat([b_mag_msk, b_wf_abs[..., :1]], axis=-1)
+    mse = lambda x, y: tf.reduce_mean(tf.square(x - y))
+    with tf.GradientTape() as t:
+        a2b_mag = k_mag(a_mag_tf, training=True)
+        a2b_pha = k_pha(a_pha_tf, training=True)
+        a2b_mag = tf.where(b_mag_msk != 0.0, a2b_mag, 0.0)
+        a2b_pha = tf.where(b_pha_msk != 0.0, a2b_pha, 0.0)
+        a2b_mag = tf.concat([a2b_mag, tf.zeros_like(a2b_mag[..., :1])],
+                            axis=-1)
+        a2b = tf.concat([a2b_mag, a2b_pha], axis=1)
+        a2b2a = ideal_op(a2b, te_tf, training=False)
+        a2b2a = tf.where(a_tf != 0.0, a2b2a, 0.0)
+        loss_tf = mse(a_tf, a2b2a)
+        fm_tv = tf.reduce_sum(tf.image.total_variation(a2b[:, 1, :, :, 2:3]))
+        fm_l1 = tf.reduce_sum(tf.reduce_mean(
+            tf.abs(a2b[:, 1:, :, :, 2:3]), axis=(1, 2, 3, 4)))
+        loss_tf += fm_tv * cfg["FM_TV_weight"] + fm_l1 * cfg["FM_L1_weight"]
+        bp_dy, bp_dx = tf.image.image_gradients(a2b[:, 1, :, :, -1:])
+        bp_gr = tf.reduce_sum(tf.abs(bp_dy) - tf.math.sign(bp_dx))
+        bp_gr += cfg["BP_GR_sym_weight"] * tf.reduce_sum(tf.abs(
+            a2b[:, 1, :, (h // 4):(h // 2), -1:]
+            + a2b[:, 1, :, -(h // 4 + 1):-(h // 2 + 1):-1, -1:]))
+        loss_tf += bp_gr * cfg["BP_GR_weight"]
+    n_mag = len(k_mag.trainable_variables)
+    tf_grads = t.gradient(loss_tf, k_mag.trainable_variables
+                          + k_pha.trainable_variables)
+
+    # --- Flax loss/grads (the production loss_fn) ----------------------
+    loss_fn = single_tr.make_loss_fn(cfg, g_mag, g_pha)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (params_mag["params"], params_pha["params"]), jnp.asarray(A),
+        jnp.asarray(maps), jnp.asarray(te))
+
+    tf_tree_mag = _tf_grads_as_pytree(k_mag, tf_grads[:n_mag],
+                                      convert_unet, g_mag,
+                                      jnp.asarray(a_mag))
+    tf_tree_pha = _tf_grads_as_pytree(k_pha, tf_grads[n_mag:],
+                                      convert_unet, g_pha,
+                                      jnp.asarray(a_pha))
+    loss_diff = abs(float(loss_tf) - float(loss)) / max(
+        abs(float(loss_tf)), 1.0)
+    gmax1, gpath1, gscale1 = _grad_compare(grads[0], tf_tree_mag)
+    gmax2, gpath2, gscale2 = _grad_compare(grads[1], tf_tree_pha)
+    gmax, gpath, gscale = ((gmax1, "mag:" + gpath1, gscale1)
+                           if gmax1 >= gmax2
+                           else (gmax2, "pha:" + gpath2, gscale2))
+    return {"loss_tf": float(loss_tf), "loss_flax": float(loss),
+            "loss_rel_diff": loss_diff, "grad_max_rel": gmax,
+            "grad_worst_leaf": gpath, "grad_scale": gscale}
+
+
+FAMILIES = ("sup_WF", "unsup_FM", "mag_MSE", "teaug_PM", "single_bipolar")
+
+
 def main():
     _force_cpu()
     results = {"sup_WF": sup_parity(), "unsup_FM": unsup_parity(),
-               "mag_MSE": mag_parity(),
+               "mag_MSE": mag_parity(), "teaug_PM": teaug_parity(),
+               "single_bipolar": single_parity(),
                "tolerances": {"loss_rel": LOSS_TOL, "grad_rel": GRAD_TOL}}
     ok = True
-    for name in ("sup_WF", "unsup_FM", "mag_MSE"):
+    for name in FAMILIES:
         r = results[name]
         passed = (r["loss_rel_diff"] < LOSS_TOL
                   and r["grad_max_rel"] < GRAD_TOL)
