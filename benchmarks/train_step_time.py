@@ -222,8 +222,11 @@ def main():
         import os as _os
         skip_crash = (_os.environ.get("IDEAL_GAN_SKIP_CRASH_ROWS") == "1"
                       and h >= 384 and nb >= 8)
-        for bf16, remat in ((False, False), (True, False), (False, True),
-                            (True, True)):
+        only_micro = _os.environ.get("IDEAL_GAN_ONLY_MICRO_ROW") == "1"
+        variants = (() if only_micro else
+                    ((False, False), (True, False), (False, True),
+                     (True, True)))
+        for bf16, remat in variants:
             if skip_crash and not bf16:
                 results.append({
                     "name": "teaug (VET)" + (" remat" if remat else ""),
@@ -245,14 +248,19 @@ def main():
         # (docs/DESIGN.md); --microbatch 2 gradient accumulation keeps
         # each scan-body backward at batch 2, which compiles — this row
         # is the reference f32 72-filter config actually running.
-        tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
-                    batch_size=nb, epochs=1, microbatch=2)
-        model = teaug.build_model(tcfg)
-        step, tx = teaug.make_train_step(tcfg, model)
-        state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
-        bench("teaug (VET) micro2", step, state,
-              (jnp.asarray(maps), jnp.asarray(te)),
-              extra={"filters": width("teaug"), "microbatch": 2})
+        # IDEAL_GAN_ONLY_MICRO_ROW=1 runs JUST this row (it is the
+        # longest compile of the family; isolating it keeps a tunnel
+        # hang from losing the measured bf16 rows), and
+        # IDEAL_GAN_SKIP_MICRO_ROW=1 skips it.
+        if _os.environ.get("IDEAL_GAN_SKIP_MICRO_ROW") != "1":
+            tcfg = dict(teaug.DEFAULTS, n_G_filters=width("teaug"),
+                        batch_size=nb, epochs=1, microbatch=2)
+            model = teaug.build_model(tcfg)
+            step, tx = teaug.make_train_step(tcfg, model)
+            state = teaug.init_state(tcfg, model, tx, key, h=h, w=h)
+            bench("teaug (VET) micro2", step, state,
+                  (jnp.asarray(maps), jnp.asarray(te)),
+                  extra={"filters": width("teaug"), "microbatch": 2})
 
     if "mag" in selected:
         for bf16 in (False, True):

@@ -122,16 +122,19 @@ class ConvLSTM(nn.Module):
     # math, so the flag never changes results beyond f32 summation
     # order.
     #
-    # Default policy (round-5 hardware measurement, docs/DESIGN.md): the
-    # fused path engages for **bfloat16** compute — the operating point
-    # where the full fwd+bwd pair beats this module's XLA form at the
-    # trainer level (unsup 138.2 vs 141.7 ms). At f32 the pair measures
-    # 0.85× the XLA recurrence (the bwd kernel's VMEM state stacks cap
-    # its halo efficiency at ~30 %), so f32 *training* keeps the XLA
-    # path. Forward-only callers (serving/eval, where the fused forward
-    # is 1.9–2.3× at BOTH dtypes) opt in via
+    # Default policy (round-5 trainer-level hardware measurements,
+    # docs/DESIGN.md "ConvLSTM backward, validated"): the fused path
+    # engages for **bfloat16 compute on multi-channel inputs (Cin ≥ 2)**
+    # — the operating point where the full fwd+bwd pair beats this
+    # module's XLA form at the trainer level (unsup 138.0 vs 141.7 ms).
+    # At f32 the pair measures 0.85× the XLA recurrence (the bwd
+    # kernel's VMEM state stacks cap its halo efficiency at ~30 %), and
+    # on Cin=1 magnitude inputs it regresses even at bf16 (mag 237.9 vs
+    # 191.2 ms, single 83.8 vs 74.2), so those train on the XLA path.
+    # Forward-only callers (serving/eval, where the fused forward is
+    # 1.9–2.3× at BOTH dtypes and any Cin) opt in via
     # IDEAL_GAN_CONVLSTM_FUSED=1 (cli inference paths set it).
-    # Env: unset/auto = bf16-only on TPU; "1" = any dtype on TPU;
+    # Env: unset/auto = bf16+Cin≥2 on TPU; "1" = any dtype/Cin on TPU;
     # "0" = never; "force" = anywhere (interpret off-TPU; tests).
     fused: bool = True
 
@@ -150,8 +153,22 @@ class ConvLSTM(nn.Module):
         bias = bias.astype(self.dtype)
 
         env = os.environ.get("IDEAL_GAN_CONVLSTM_FUSED", "auto")
-        dtype_ok = (self.dtype == jnp.bfloat16) if env == "auto" else True
-        if (self.fused and (kh, kw) == (3, 3) and env != "0" and dtype_ok
+        auto_ok = (self.dtype == jnp.bfloat16 and cin >= 2
+                   if env == "auto" else True)
+        if auto_ok and env in ("auto", "1"):
+            # VMEM viability: wide configs (e.g. F=72 at 384²) admit no
+            # feasible backward block, and emitting the kernel anyway
+            # HANGS the TPU compile helper. "auto" (training) requires
+            # both kernels viable and falls back to the XLA recurrence;
+            # "1" (the forward-only serving opt-in) checks the forward
+            # only — differentiating a bwd-nonviable config under "1"
+            # raises loudly in convlstm_bwd_pallas instead of hanging.
+            # "force" (interpret-mode tests) skips the check.
+            from ..ops.pallas_convlstm import fused_viable
+            itemsize = jnp.dtype(self.dtype).itemsize
+            auto_ok = fused_viable(h, w, ne, self.filters, cin, itemsize,
+                                   bwd=(env == "auto"))
+        if (self.fused and (kh, kw) == (3, 3) and env != "0" and auto_ok
                 and (jax.default_backend() == "tpu" or env == "force")):
             from ..ops.pallas_convlstm import convlstm_fused
             return convlstm_fused(x.astype(self.dtype), k_merged, bias,

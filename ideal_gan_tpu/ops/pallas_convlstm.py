@@ -138,8 +138,25 @@ def _block_shape(h: int, w: int, ne: int, f: int, cin: int,
                 best = (eff, th, wc)
             break  # smaller th only lowers efficiency for this wc
     if best is None:
-        return 1, w
+        return None  # no block fits the VMEM budget (callers fall back)
     return best[1], best[2]
+
+
+def fused_viable(h, w, ne, f, cin, itemsize, bwd=True) -> bool:
+    """Whether the fused kernels have a VMEM-viable spatial block at
+    this config. The block searches return None when even the smallest
+    block exceeds the budget — e.g. the backward at F=72 (the sup/teaug
+    reference width), whose per-position working set (state stacks +
+    dgates temps) leaves no feasible (th, wc). Emitting the kernel
+    anyway produces a ~50 MB working set that HANGS the TPU compile
+    helper (round-5 incident: wedged the tunnel for 30+ min), so
+    `models/convlstm.py` gates on this and `convlstm_pallas`/
+    `convlstm_bwd_pallas` raise loudly instead of compiling."""
+    if _block_shape(h, w, ne, f, cin, itemsize) is None:
+        return False
+    if bwd and _block_shape_bwd(h, w, ne, f, cin, itemsize) is None:
+        return False
+    return True
 
 
 def _fwd_kernel(act_name, rec_act_name, ne, th, wc, halo, h_true, w_true,
@@ -274,7 +291,15 @@ def convlstm_pallas(x, k_merged, bias, activation="leaky_relu",
     f = f4 // 4
     assert c == cin + f, (c, cin, f)
     dtype = x.dtype
-    th, wc = _block_shape(h, w, ne, f, cin, dtype.itemsize)
+    blk = _block_shape(h, w, ne, f, cin, dtype.itemsize)
+    if blk is None:
+        raise ValueError(
+            f"convlstm_pallas: no VMEM-viable block at H={h} W={w} "
+            f"ne={ne} F={f} Cin={cin} {dtype} — emitting the kernel "
+            "anyway hangs the TPU compile helper; use the XLA "
+            "recurrence (models/convlstm.py gates on "
+            "ops.pallas_convlstm.fused_viable)")
+    th, wc = blk
     halo = ne
     r = th + 2 * halo
     wp = wc + 2 * halo
@@ -470,7 +495,7 @@ def _block_shape_bwd(h: int, w: int, ne: int, f: int, cin: int,
                 best = (eff, th, wc)
             break
     if best is None:
-        return 1, w
+        return None  # no block fits the VMEM budget (callers fall back)
     return best[1], best[2]
 
 
@@ -668,7 +693,15 @@ def convlstm_bwd_pallas(x, k_merged, bias, g, activation="leaky_relu",
     f = k_merged.shape[-1] // 4
     c = cin + f
     dtype = x.dtype
-    th, wc = _block_shape_bwd(h, w, ne, f, cin, dtype.itemsize)
+    blk = _block_shape_bwd(h, w, ne, f, cin, dtype.itemsize)
+    if blk is None:
+        raise ValueError(
+            f"convlstm_bwd_pallas: no VMEM-viable block at H={h} W={w} "
+            f"ne={ne} F={f} Cin={cin} {dtype} (the state stacks + "
+            "dgates temps exceed the budget at every (th, wc) — e.g. "
+            "F=72 at 384²) — emitting the kernel anyway hangs the TPU "
+            "compile helper; use the XLA recurrence")
+    th, wc = blk
     halo = ne + 1
     r = th + 2 * halo
     wp = wc + 2 * halo
