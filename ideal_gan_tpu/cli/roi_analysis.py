@@ -90,12 +90,16 @@ def make_infer_run(cfg, acqs):
     restores the checkpoint and closes over the params ONCE — callers
     (cli.infer) reuse the closure across chunks so jit traces/compiles a
     single time. `acqs` is used for init shapes only."""
-    import os
-    # Forward-only serving: the fused ConvLSTM FORWARD is 1.9–2.3× the
-    # XLA recurrence at both dtypes (docs/DESIGN.md round 5), so opt in
-    # regardless of compute dtype (the bf16-only default gates on the
-    # backward's economics, which inference never pays).
-    os.environ.setdefault("IDEAL_GAN_CONVLSTM_FUSED", "1")
+    # ConvLSTM path note (round-5 measurement, docs/DESIGN.md): at the
+    # kernel level the fused forward is 1.9–2.3× the XLA recurrence, but
+    # the e2e `ideal-infer` pipeline in this environment is
+    # host-transfer-bound through the TPU tunnel (±20 % run noise;
+    # measured deltas inconclusive except the F=72 low-halo-efficiency
+    # case, which HALVED throughput and is now gated off by
+    # fused_viable's min_fwd_eff). Inference therefore defaults to the
+    # XLA recurrence; on a production host with local PCIe/DMA, set
+    # IDEAL_GAN_CONVLSTM_FUSED=1 to engage the fused forward (the
+    # module still refuses configs below 0.5 forward halo efficiency).
     sel = cfg["model_sel"]
     try:
         exp_cfg = load_settings(cfg["experiment_dir"])

@@ -131,11 +131,15 @@ class ConvLSTM(nn.Module):
     # kernel's VMEM state stacks cap its halo efficiency at ~30 %), and
     # on Cin=1 magnitude inputs it regresses even at bf16 (mag 237.9 vs
     # 191.2 ms, single 83.8 vs 74.2), so those train on the XLA path.
-    # Forward-only callers (serving/eval, where the fused forward is
-    # 1.9–2.3× at BOTH dtypes and any Cin) opt in via
-    # IDEAL_GAN_CONVLSTM_FUSED=1 (cli inference paths set it).
+    # Forward-only callers (serving/eval on hosts with local DMA, where
+    # the kernel-level fused forward is 1.9–2.3×) opt in via
+    # IDEAL_GAN_CONVLSTM_FUSED=1 — in this repo's tunnel environment
+    # the e2e infer pipeline is host-transfer-bound and the opt-in is
+    # NOT defaulted (cli/roi_analysis.py::make_infer_run note).
     # Env: unset/auto = bf16+Cin≥2 on TPU; "1" = any dtype/Cin on TPU;
     # "0" = never; "force" = anywhere (interpret off-TPU; tests).
+    # auto and "1" both require VMEM viability and ≥0.5 forward halo
+    # efficiency (ops.pallas_convlstm.fused_viable).
     fused: bool = True
 
     @nn.compact
@@ -163,11 +167,15 @@ class ConvLSTM(nn.Module):
             # "1" (the forward-only serving opt-in) checks the forward
             # only — differentiating a bwd-nonviable config under "1"
             # raises loudly in convlstm_bwd_pallas instead of hanging.
-            # "force" (interpret-mode tests) skips the check.
+            # "force" (interpret-mode tests) skips the check. Both
+            # engagement paths also require ≥0.5 forward halo
+            # efficiency — below it the fused forward measured slower
+            # than XLA (F=72 f32: 0.34 eff, 0.52× on the e2e serving
+            # path; the measured wins sit at 0.61–0.67).
             from ..ops.pallas_convlstm import fused_viable
             itemsize = jnp.dtype(self.dtype).itemsize
             auto_ok = fused_viable(h, w, ne, self.filters, cin, itemsize,
-                                   bwd=(env == "auto"))
+                                   bwd=(env == "auto"), min_fwd_eff=0.5)
         if (self.fused and (kh, kw) == (3, 3) and env != "0" and auto_ok
                 and (jax.default_backend() == "tpu" or env == "force")):
             from ..ops.pallas_convlstm import convlstm_fused

@@ -142,7 +142,8 @@ def _block_shape(h: int, w: int, ne: int, f: int, cin: int,
     return best[1], best[2]
 
 
-def fused_viable(h, w, ne, f, cin, itemsize, bwd=True) -> bool:
+def fused_viable(h, w, ne, f, cin, itemsize, bwd=True,
+                 min_fwd_eff=0.0) -> bool:
     """Whether the fused kernels have a VMEM-viable spatial block at
     this config. The block searches return None when even the smallest
     block exceeds the budget — e.g. the backward at F=72 (the sup/teaug
@@ -151,9 +152,23 @@ def fused_viable(h, w, ne, f, cin, itemsize, bwd=True) -> bool:
     anyway produces a ~50 MB working set that HANGS the TPU compile
     helper (round-5 incident: wedged the tunnel for 30+ min), so
     `models/convlstm.py` gates on this and `convlstm_pallas`/
-    `convlstm_bwd_pallas` raise loudly instead of compiling."""
-    if _block_shape(h, w, ne, f, cin, itemsize) is None:
+    `convlstm_bwd_pallas` raise loudly instead of compiling.
+
+    min_fwd_eff: additionally require the forward block's halo
+    efficiency th·wc/((th+2ne)(wc+2ne)) to reach this floor. The fused
+    forward wins where the block search lands above ~0.5 (F=32 f32:
+    0.61, measured 1.90×; F=36 bf16: 0.67, 1.67×) and LOSES where VMEM
+    pressure shrinks it below (F=72 f32: 0.34 — measured 0.52× on the
+    e2e VET-Net serving path), so the forward-only serving opt-in
+    passes 0.5 here."""
+    blk = _block_shape(h, w, ne, f, cin, itemsize)
+    if blk is None:
         return False
+    if min_fwd_eff:
+        th, wc = blk
+        eff = (th * wc) / ((th + 2 * ne) * (wc + 2 * ne))
+        if eff < min_fwd_eff:
+            return False
     if bwd and _block_shape_bwd(h, w, ne, f, cin, itemsize) is None:
         return False
     return True

@@ -239,7 +239,8 @@ def main():
 
     from ideal_gan_tpu import physics as ph
 
-    widths = {"sup": 72, "teaug": 72, "unsup": 32, "mag": 36, "single": 36}
+    widths = {"sup": 72, "teaug": 72, "unsup": 32, "mag": 36, "single": 36,
+              "gan": 36}
     width = args.filters or widths[args.trainer]
     nb, h = args.batch, args.size
     rng = np.random.default_rng(0)
